@@ -1,0 +1,85 @@
+"""Benchmark: matrix-free CG DOF-throughput on 3D Poisson Q1 (single chip).
+
+The BASELINE.json primary metric: "matrix-free CG DOF-throughput" for 3D
+Poisson (north star: 100M DOFs on v5p-8 at >60% of HBM roofline). This runs
+the single-chip slice: fixed-iteration matrix-free CG on a Q1 structured
+grid, fp32 (TPU performance mode), and reports
+
+  value        = DOF-iterations / second (N * iters / wall)
+  vs_baseline  = achieved fraction of HBM roofline under a simple byte model
+
+Byte model per CG iteration (fp32): the operator application streams the DOF
+vector through gather (read ~N), kernel, scatter-add (read+write ~2N), and
+the CG vector updates touch ~6 reads + 3 writes of N => ~12 N * 4 bytes.
+Roofline BW defaults to v5e (~819 GB/s); override with BENCH_HBM_GBPS.
+
+Prints exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+    )
+    from dune_pdelab_tpu.linalg import cg
+
+    n = int(os.environ.get("BENCH_CELLS", "192"))
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "819"))
+    dtype = jnp.float32
+
+    class P(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
+    V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
+    prob = P()
+    cg_mask = pt.constraints(prob.dirichlet_bctype(), V)
+    go = pt.GridOperator(V, ConvectionDiffusionFEM(prob), constraints=cg_mask)
+    N = V.ndofs
+
+    x0 = jnp.zeros(N, dtype)
+    b = go.residual(x0)
+
+    @jax.jit
+    def run(b):
+        z, stats = cg(lambda p: go.jacobian_apply(x0, p), b,
+                      tol=0.0, atol=1e-30, maxiter=iters)
+        return z, stats.iterations, stats.defect
+
+    z, it, defect = run(b)
+    z.block_until_ready()  # warmup + compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        z, it, defect = run(b)
+        z.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    dof_iters_per_sec = N * int(it) / dt
+    bytes_per_iter = 12.0 * N * 4
+    achieved_gbps = bytes_per_iter * int(it) / dt / 1e9
+    vs_baseline = achieved_gbps / hbm_gbps
+
+    print(json.dumps({
+        "metric": f"matrix-free CG DOF-iterations/sec (3D Poisson Q1, "
+                  f"N={N}, fp32, {int(it)} iters)",
+        "value": dof_iters_per_sec,
+        "unit": "dof_iters/s",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

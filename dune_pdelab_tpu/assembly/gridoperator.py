@@ -1,0 +1,523 @@
+"""GridOperator: global residual / Jacobian assembly as batched kernels.
+
+TPU-native analog of PDELab's grid operator layer (reference:
+dune/pdelab/gridoperator/gridoperator.hh:35-240 facade;
+gridoperator/default/assembler.hh:84-279 element sweep;
+gridoperator/default/{residualengine,jacobianengine,jacobianapplyengine}.hh).
+
+Design translation:
+  * The sequential element loop + LFS bind/gather/scatter becomes ONE batched
+    gather `x[element_dofs]`, ONE batched kernel call, ONE scatter-add — per
+    integration domain (volume / boundary-face group / interior-face group).
+  * The per-concern assembler engines collapse into a single traced residual;
+    `jacobian_apply` is jax.jvp of it (replacing jacobianapplyengine.hh AND
+    all NumericalJacobian mixins, reference: localoperator/
+    numericaljacobian.hh:31); assembled Jacobians come from basis-vector jvp
+    probing of the same kernels (replacing jacobianengine.hh).
+  * The constrained scatter `etadd` (reference: gridoperator/common/
+    assemblerutilities.hh:501-586, symmetric variant :466, trivial rows :666)
+    becomes mask weighting of COO entries + unit diagonal on constrained rows.
+  * Unique interior-face visits (`ids > idn`, assembler.hh:181) are the
+    precomputed unique face list from the mesh.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.assembly.geometry import (
+    VolumeGeometry, FaceGeometry, embed_face_points,
+)
+from dune_pdelab_tpu.fe.quadrature import quadrature_rule
+from dune_pdelab_tpu.ops.base import (
+    LeafTab, VolumeContext, FaceContext, SkeletonContext,
+)
+from dune_pdelab_tpu.utils.common import default_float
+
+
+def _cat_leaf_dofs(maps):
+    """Concatenate per-leaf (B, nloc_i) global-DOF maps -> (B, sum nloc_i)."""
+    return np.concatenate([np.asarray(m, dtype=np.int64) for m in maps], axis=1)
+
+
+class _FaceGroupData:
+    """Static per-group data for boundary or skeleton assembly."""
+    __slots__ = ("axis", "side", "elements", "outside", "leaf_dofs_in",
+                 "leaf_dofs_out", "tabs_in", "tabs_out", "factor", "normal",
+                 "h_in", "h_out", "x", "weights")
+
+
+class GridOperator:
+    """Assembles residual / Jacobian of a LocalOperator over a function space.
+
+    Galerkin only: trial space == test space (the overwhelmingly common case;
+    PDELab's GFSU/GFSV split collapses).
+
+    API parity with gridoperator.hh:168-205:
+      residual(x)            -> r
+      jacobian(x)            -> BCOO sparse matrix
+      jacobian_apply(x, z)   -> J(x) z   (matrix-free)
+      jacobian_diagonal(x)   -> diag(J)  (for Jacobi-type preconditioners)
+      element_jacobians(x)   -> dense per-element blocks (block precondit.)
+    """
+
+    def __init__(self, space, lop, constraints=None, quad_order=None):
+        self.space = space
+        self.lop = lop
+        self.cg = constraints
+        self.leaves = space.leaves
+        mesh = self.leaves[0].mesh
+        for lf in self.leaves:
+            if lf.mesh is not mesh:
+                raise ValueError("all leaves must share one mesh")
+        self.mesh = mesh
+        self.nleaves = len(self.leaves)
+
+        # local->global maps, one per leaf, plus the concatenated local layout
+        if space.is_leaf:
+            leaf_maps = [space.element_dofs]
+        else:
+            leaf_maps = space.leaf_element_dofs()
+        self.leaf_dofs = [jnp.asarray(m, jnp.int32) for m in leaf_maps]
+        self.local_sizes = tuple(lf.fem.nbasis for lf in self.leaves)
+        self.nlocal = sum(self.local_sizes)
+        self.elem_gdofs_cat = _cat_leaf_dofs(leaf_maps)  # (E, nlocal) numpy
+
+        degree = max(lf.fem.degree for lf in self.leaves)
+        self.qorder = quad_order if quad_order is not None else lop.quad_order(degree)
+
+        # --- volume precomputation ---------------------------------------
+        qp, w = quadrature_rule(mesh.geometry_type, mesh.dim, self.qorder)
+        self.vol_geo = VolumeGeometry(mesh, qp, w)
+        self._vol_tabs = []
+        for lf in self.leaves:
+            vals, grads = lf.fem.tabulate(qp)
+            self._vol_tabs.append(
+                (vals, self.vol_geo.transform_grad(grads), grads, lf.fem.degree)
+            )
+        self._vol_weights = w
+
+        # --- face precomputation -----------------------------------------
+        self.has = {
+            name: hasattr(lop, name)
+            for name in ("alpha_volume", "lambda_volume", "alpha_boundary",
+                         "lambda_boundary", "alpha_skeleton", "lambda_skeleton")
+        }
+        self.bnd_groups: list[_FaceGroupData] = []
+        self.skel_groups: list[_FaceGroupData] = []
+        if self.has["alpha_boundary"] or self.has["lambda_boundary"]:
+            self._build_boundary_groups(leaf_maps)
+        if self.has["alpha_skeleton"]:
+            self._build_skeleton_groups(leaf_maps)
+
+        # persistent jitted entry points (trace once per shape/dtype; the
+        # FastDG lesson — gather/trace overhead dominates — applied to jit)
+        self._residual_jit = jax.jit(self._residual_with_mask)
+        self._japply_jit = jax.jit(self._japply_impl)
+        self._ejac_jit = jax.jit(self._element_jacobians_impl)
+        self._ediag_jit = jax.jit(self._element_diagonal_blocks_impl)
+        self._jdiag_jit = jax.jit(self._jacobian_diagonal_impl)
+
+    # ------------------------------------------------------------------
+    # setup of face groups
+    # ------------------------------------------------------------------
+    def _face_rule(self):
+        return quadrature_rule("cube", self.mesh.dim - 1, self.qorder)
+
+    def _tab_at(self, pts_ref, geo: FaceGeometry):
+        """Per-leaf LeafTab at embedded face points (uniform geometry)."""
+        tabs = []
+        for lf in self.leaves:
+            vals, grads = lf.fem.tabulate(pts_ref)
+            tabs.append((vals, (grads / self.mesh.h)[None], grads, lf.fem.degree))
+        return tabs
+
+    def _build_boundary_groups(self, leaf_maps):
+        mesh = self.mesh
+        bf = mesh.boundary_faces()
+        qpf, wf = self._face_rule()
+        for a in range(mesh.dim):
+            for s in (0, 1):
+                sel = np.nonzero((bf["axis"] == a) & (bf["side"] == s))[0]
+                if len(sel) == 0:
+                    continue
+                g = _FaceGroupData()
+                g.axis, g.side = a, s
+                g.elements = bf["element"][sel]
+                g.outside = None
+                g.leaf_dofs_in = [m[g.elements] for m in leaf_maps]
+                g.leaf_dofs_out = None
+                fgeo = FaceGeometry(mesh, a, qpf, wf)
+                pts = embed_face_points(qpf, a, s, mesh.dim)
+                g.tabs_in = self._tab_at(pts, fgeo)
+                g.tabs_out = None
+                g.factor = fgeo.factor
+                n = np.zeros(mesh.dim)
+                n[a] = 2.0 * s - 1.0
+                g.normal = n
+                g.h_in = fgeo.h_normal
+                g.h_out = None
+                g.weights = wf
+                origins = (mesh.lower + mesh.element_multi_index() * mesh.h)[g.elements]
+                g.x = origins[:, None, :] + (pts * mesh.h)[None]
+                self.bnd_groups.append(g)
+
+    def _build_skeleton_groups(self, leaf_maps):
+        mesh = self.mesh
+        itf = mesh.interior_faces()
+        qpf, wf = self._face_rule()
+        for a in range(mesh.dim):
+            sel = np.nonzero(itf["axis"] == a)[0]
+            if len(sel) == 0:
+                continue
+            g = _FaceGroupData()
+            g.axis, g.side = a, None
+            g.elements = itf["inside"][sel]
+            g.outside = itf["outside"][sel]
+            g.leaf_dofs_in = [m[g.elements] for m in leaf_maps]
+            g.leaf_dofs_out = [m[g.outside] for m in leaf_maps]
+            fgeo = FaceGeometry(mesh, a, qpf, wf)
+            pts_in = embed_face_points(qpf, a, 1, mesh.dim)   # upper face of inside
+            pts_out = embed_face_points(qpf, a, 0, mesh.dim)  # lower face of outside
+            g.tabs_in = self._tab_at(pts_in, fgeo)
+            g.tabs_out = self._tab_at(pts_out, fgeo)
+            g.factor = fgeo.factor
+            n = np.zeros(mesh.dim)
+            n[a] = 1.0   # inside -> outside
+            g.normal = n
+            g.h_in = fgeo.h_normal
+            g.h_out = fgeo.h_normal
+            g.weights = wf
+            origins = (mesh.lower + mesh.element_multi_index() * mesh.h)[g.elements]
+            g.x = origins[:, None, :] + (pts_in * mesh.h)[None]
+            self.skel_groups.append(g)
+
+    # ------------------------------------------------------------------
+    # in-trace context construction
+    # ------------------------------------------------------------------
+    def _leaf_tabs(self, raw_tabs, dtype):
+        return tuple(
+            LeafTab(
+                phi=jnp.asarray(v, dtype),
+                grad=jnp.asarray(gphys, dtype),
+                ref_grad=jnp.asarray(gref, dtype),
+                degree=deg,
+            )
+            for (v, gphys, gref, deg) in raw_tabs
+        )
+
+    def _volume_ctx(self, time, dtype) -> VolumeContext:
+        vg = self.vol_geo
+        if self.mesh.uniform:
+            x = (
+                jnp.asarray(vg.origins, dtype)[:, None, :]
+                + jnp.asarray(vg.qp_phys_offset, dtype)[None]
+            )
+        else:
+            x = jnp.asarray(vg.qp_phys, dtype)
+        return VolumeContext(
+            weights=jnp.asarray(vg.weights, dtype),
+            x=x,
+            factor=jnp.asarray(vg.factor, dtype),
+            tabs=self._leaf_tabs(self._vol_tabs, dtype),
+            jac_inv_T=jnp.asarray(vg.jac_inv_T, dtype),
+            cell_volume=jnp.asarray(vg.cell_volume, dtype),
+            time=time,
+        )
+
+    def _face_ctx(self, g: _FaceGroupData, time, dtype) -> FaceContext:
+        return FaceContext(
+            weights=jnp.asarray(g.weights, dtype),
+            x=jnp.asarray(g.x, dtype),
+            factor=jnp.asarray(g.factor, dtype),
+            normal=jnp.asarray(g.normal, dtype),
+            tabs=self._leaf_tabs(g.tabs_in, dtype),
+            h_inside=jnp.asarray(g.h_in, dtype),
+            time=time,
+        )
+
+    def _skel_ctx(self, g: _FaceGroupData, time, dtype) -> SkeletonContext:
+        return SkeletonContext(
+            weights=jnp.asarray(g.weights, dtype),
+            x=jnp.asarray(g.x, dtype),
+            factor=jnp.asarray(g.factor, dtype),
+            normal=jnp.asarray(g.normal, dtype),
+            tabs_in=self._leaf_tabs(g.tabs_in, dtype),
+            tabs_out=self._leaf_tabs(g.tabs_out, dtype),
+            h_inside=jnp.asarray(g.h_in, dtype),
+            h_outside=jnp.asarray(g.h_out, dtype),
+            time=time,
+        )
+
+    # ------------------------------------------------------------------
+    # residual
+    # ------------------------------------------------------------------
+    def _pack(self, r_loc):
+        """Normalize kernel output to a per-leaf tuple."""
+        if self.nleaves == 1:
+            return (r_loc,) if not isinstance(r_loc, tuple) else r_loc
+        return tuple(r_loc)
+
+    def _uarg(self, u_leaf):
+        return u_leaf[0] if self.nleaves == 1 else tuple(u_leaf)
+
+    def _gather(self, x, dof_maps):
+        return [x[jnp.asarray(m, jnp.int32)] if not isinstance(m, jnp.ndarray)
+                else x[m] for m in dof_maps]
+
+    def _scatter_add(self, r, dof_maps, r_loc):
+        for m, rl in zip(dof_maps, self._pack(r_loc)):
+            idx = m if isinstance(m, jnp.ndarray) else jnp.asarray(m, jnp.int32)
+            r = r.at[idx].add(rl.astype(r.dtype))
+        return r
+
+    def residual_unconstrained(self, x, time=0.0):
+        """Assembled residual WITHOUT the constrained-row zeroing."""
+        dtype = x.dtype
+        lop = self.lop.set_time(time)
+        r = jnp.zeros_like(x)
+        u_leaf = [x[m] for m in self.leaf_dofs]
+        vctx = self._volume_ctx(time, dtype)
+        if self.has["alpha_volume"]:
+            r = self._scatter_add(r, self.leaf_dofs,
+                                  lop.alpha_volume(vctx, self._uarg(u_leaf)))
+        if self.has["lambda_volume"]:
+            r = self._scatter_add(r, self.leaf_dofs, lop.lambda_volume(vctx))
+        for g in self.bnd_groups:
+            fctx = self._face_ctx(g, time, dtype)
+            uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            if self.has["alpha_boundary"]:
+                r = self._scatter_add(r, g.leaf_dofs_in,
+                                      lop.alpha_boundary(fctx, self._uarg(uf)))
+            if self.has["lambda_boundary"]:
+                r = self._scatter_add(r, g.leaf_dofs_in, lop.lambda_boundary(fctx))
+        for g in self.skel_groups:
+            sctx = self._skel_ctx(g, time, dtype)
+            ui = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            uo = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_out]
+            r_in, r_out = lop.alpha_skeleton(sctx, self._uarg(ui), self._uarg(uo))
+            r = self._scatter_add(r, g.leaf_dofs_in, r_in)
+            r = self._scatter_add(r, g.leaf_dofs_out, r_out)
+        return r
+
+    def _residual_with_mask(self, x, time):
+        r = self.residual_unconstrained(x, time)
+        if self.cg is not None:
+            r = jnp.where(self.cg.mask, 0.0, r)
+        return r
+
+    def residual(self, x, time=0.0):
+        """r(x) with constrained rows zeroed (so the correction problem
+        J z = r has z = 0 on Dirichlet DOFs; reference convention:
+        gridoperator residual + set_trivial_rows). Jitted and cached."""
+        return self._residual_jit(x, time)
+
+    # ------------------------------------------------------------------
+    # matrix-free Jacobian application (jacobianapplyengine analog)
+    # ------------------------------------------------------------------
+    def _japply_impl(self, x, z, time):
+        if self.cg is not None:
+            zf = jnp.where(self.cg.mask, 0.0, z)
+        else:
+            zf = z
+        _, jz = jax.jvp(lambda y: self.residual_unconstrained(y, time), (x,), (zf,))
+        if self.cg is not None:
+            jz = jnp.where(self.cg.mask, z, jz)
+        return jz
+
+    def jacobian_apply(self, x, z, time=0.0):
+        """y = J(x) z with symmetric constraint handling:
+        y = mask*z + P J P z, P = projection onto unconstrained DOFs.
+        Jitted and cached; also safe to call inside an outer jit."""
+        return self._japply_jit(x, z, time)
+
+    def linear_operator(self, time=0.0, dtype=None):
+        """For linear LOPs: z -> J z closure (linearization point irrelevant)."""
+        x0 = jnp.zeros(self.space.ndofs, dtype or default_float())
+        return lambda z: self.jacobian_apply(x0, z, time)
+
+    # ------------------------------------------------------------------
+    # assembled Jacobian via jvp probing (jacobianengine analog)
+    # ------------------------------------------------------------------
+    def _probe(self, f, u_leaf, nloc_list, time):
+        """Dense per-item Jacobian of a batched kernel via basis-vector jvp.
+
+        f: per-leaf tuple -> per-leaf tuple residual. Returns
+        (B, nlocal, nlocal) with the concatenated local ordering.
+        """
+        cols = []
+        ntot = sum(nloc_list)
+        offs = np.concatenate([[0], np.cumsum(nloc_list)])
+        uarg = self._uarg(u_leaf)
+        for j in range(ntot):
+            leaf = int(np.searchsorted(offs, j, side="right") - 1)
+            loc = j - offs[leaf]
+            tangent = [jnp.zeros_like(u) for u in u_leaf]
+            tangent[leaf] = jnp.zeros_like(u_leaf[leaf]).at[:, loc].set(1.0)
+            _, col = jax.jvp(lambda u: self._pack(f(u)),
+                             (uarg,), (self._uarg(tangent),))
+            cols.append(jnp.concatenate(col, axis=1))  # (B, ntot)
+        return jnp.stack(cols, axis=-1)                # (B, ntot, ntot)
+
+    def _element_jacobians_impl(self, x, time):
+        dtype = x.dtype
+        lop = self.lop.set_time(time)
+        u_leaf = [x[m] for m in self.leaf_dofs]
+        vctx = self._volume_ctx(time, dtype)
+        if not self.has["alpha_volume"]:
+            E = self.mesh.nelements
+            return jnp.zeros((E, self.nlocal, self.nlocal), dtype)
+        return self._probe(lambda u: lop.alpha_volume(vctx, u),
+                           u_leaf, self.local_sizes, time)
+
+    def element_jacobians(self, x, time=0.0):
+        """Per-element dense volume Jacobian blocks (E, nlocal, nlocal).
+
+        The blockdiagonal extraction analog (reference:
+        localoperator/blockdiagonal.hh:190) used by block preconditioners.
+        """
+        return self._ejac_jit(x, time)
+
+    def element_diagonal_blocks(self, x, time=0.0):
+        """Per-element diagonal Jacobian blocks including boundary and
+        skeleton self-coupling (E, nlocal, nlocal) — the full BlockDiagonal
+        extraction (reference: localoperator/blockdiagonal.hh:190 wraps ALL
+        alpha_* of the wrapped operator, not just alpha_volume). This is the
+        right block for DG block-Jacobi preconditioning where penalty terms
+        dominate the diagonal."""
+        return self._ediag_jit(x, time)
+
+    def _element_diagonal_blocks_impl(self, x, time):
+        dtype = x.dtype
+        lop = self.lop.set_time(time)
+        E = self.mesh.nelements
+        J = jnp.zeros((E, self.nlocal, self.nlocal), dtype)
+        if self.has["alpha_volume"]:
+            J = J + self._element_jacobians_impl(x, time)
+        for g in self.bnd_groups:
+            if not self.has["alpha_boundary"]:
+                continue
+            fctx = self._face_ctx(g, time, dtype)
+            uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            Jb = self._probe(lambda u: lop.alpha_boundary(fctx, u),
+                             uf, self.local_sizes, time)
+            J = J.at[jnp.asarray(g.elements, jnp.int32)].add(Jb)
+        for g in self.skel_groups:
+            sctx = self._skel_ctx(g, time, dtype)
+            ui = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            uo = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_out]
+
+            def r_in_of_uin(u):
+                r_in, _ = lop.alpha_skeleton(sctx, u, self._uarg(uo))
+                return r_in
+
+            def r_out_of_uout(u):
+                _, r_out = lop.alpha_skeleton(sctx, self._uarg(ui), u)
+                return r_out
+
+            Jii = self._probe(r_in_of_uin, ui, self.local_sizes, time)
+            Joo = self._probe(r_out_of_uout, uo, self.local_sizes, time)
+            J = J.at[jnp.asarray(g.elements, jnp.int32)].add(Jii)
+            J = J.at[jnp.asarray(g.outside, jnp.int32)].add(Joo)
+        return J
+
+    def _all_jacobian_blocks(self, x, time):
+        """Yield (rows (B,n), cols (B,n2), blocks (B,n,n2)) for every
+        integration domain contributing to the Jacobian."""
+        dtype = x.dtype
+        lop = self.lop.set_time(time)
+        out = []
+        if self.has["alpha_volume"]:
+            J = self.element_jacobians(x, time)
+            out.append((self.elem_gdofs_cat, self.elem_gdofs_cat, J))
+        for g in self.bnd_groups:
+            if not self.has["alpha_boundary"]:
+                continue
+            fctx = self._face_ctx(g, time, dtype)
+            uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            J = self._probe(lambda u: lop.alpha_boundary(fctx, u),
+                            uf, self.local_sizes, time)
+            gd = _cat_leaf_dofs(g.leaf_dofs_in)
+            out.append((gd, gd, J))
+        for g in self.skel_groups:
+            sctx = self._skel_ctx(g, time, dtype)
+            ui = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            uo = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_out]
+            nin = self.nlocal
+
+            def two_sided(uu):
+                # uu: concatenated per-leaf tuples: first leaves = inside,
+                # second = outside
+                u_in = uu[: self.nleaves]
+                u_out = uu[self.nleaves:]
+                r_in, r_out = lop.alpha_skeleton(
+                    sctx,
+                    u_in[0] if self.nleaves == 1 else tuple(u_in),
+                    u_out[0] if self.nleaves == 1 else tuple(u_out),
+                )
+                return self._pack(r_in) + self._pack(r_out)
+
+            both = ui + uo
+            sizes = list(self.local_sizes) * 2
+            cols = []
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            for j in range(2 * nin):
+                leaf = int(np.searchsorted(offs, j, side="right") - 1)
+                loc = j - offs[leaf]
+                tangent = [jnp.zeros_like(u) for u in both]
+                tangent[leaf] = jnp.zeros_like(both[leaf]).at[:, loc].set(1.0)
+                _, col = jax.jvp(lambda u: two_sided(tuple(u)),
+                                 (tuple(both),), (tuple(tangent),))
+                cols.append(jnp.concatenate(col, axis=1))   # (F, 2n)
+            Jfull = jnp.stack(cols, axis=-1)                # (F, 2n, 2n)
+            gin = _cat_leaf_dofs(g.leaf_dofs_in)
+            gout = _cat_leaf_dofs(g.leaf_dofs_out)
+            gboth = np.concatenate([gin, gout], axis=1)     # (F, 2n)
+            out.append((gboth, gboth, Jfull))
+        return out
+
+    def jacobian(self, x, time=0.0):
+        """Assembled sparse Jacobian as jax.experimental.sparse.BCOO with
+        symmetric constraint elimination + unit rows on constrained DOFs."""
+        from jax.experimental import sparse as jsparse
+
+        n = self.space.ndofs
+        datas, rows, cols = [], [], []
+        for gr, gc, J in self._all_jacobian_blocks(x, time):
+            B, ni, nj = J.shape
+            r = np.broadcast_to(gr[:, :, None], (B, ni, nj)).reshape(-1)
+            c = np.broadcast_to(gc[:, None, :], (B, ni, nj)).reshape(-1)
+            rows.append(r)
+            cols.append(c)
+            datas.append(J.reshape(-1))
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        data = jnp.concatenate(datas)
+        if self.cg is not None:
+            free = ~self.cg.mask_np
+            wgt = jnp.asarray(free[rows] & free[cols], data.dtype)
+            data = data * wgt
+            cidx = np.nonzero(self.cg.mask_np)[0]
+            rows = np.concatenate([rows, cidx])
+            cols = np.concatenate([cols, cidx])
+            data = jnp.concatenate([data, jnp.ones(len(cidx), data.dtype)])
+        idx = jnp.stack(
+            [jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32)], axis=1
+        )
+        A = jsparse.BCOO((data, idx), shape=(n, n))
+        return A.sum_duplicates(nse=None)
+
+    def _jacobian_diagonal_impl(self, x, time):
+        n = self.space.ndofs
+        d = jnp.zeros(n, x.dtype)
+        for gr, gc, J in self._all_jacobian_blocks(x, time):
+            diag = jnp.diagonal(J, axis1=1, axis2=2)    # (B, n)
+            d = d.at[jnp.asarray(gr, jnp.int32)].add(diag)
+        if self.cg is not None:
+            d = jnp.where(self.cg.mask, 1.0, d)
+        return d
+
+    def jacobian_diagonal(self, x, time=0.0):
+        """diag(J) including all integration domains; constrained rows -> 1."""
+        return self._jdiag_jit(x, time)

@@ -1,0 +1,4 @@
+from dune_pdelab_tpu.linalg.krylov import (
+    cg, bicgstab, minres, restarted_gmres, richardson_loop, SolverStats, SOLVERS,
+)
+from dune_pdelab_tpu.linalg import preconditioners

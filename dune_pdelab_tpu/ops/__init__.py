@@ -1,0 +1,8 @@
+from dune_pdelab_tpu.ops.base import (
+    LocalOperator, VolumeContext, FaceContext, SkeletonContext, LeafTab,
+    CombinedOperator, ScaledOperator,
+)
+from dune_pdelab_tpu.ops.convectiondiffusion import (
+    BCType, ConvectionDiffusionProblem, ConvectionDiffusionFEM, apply_tensor,
+)
+from dune_pdelab_tpu.ops.l2 import L2, L2VolumeFunctional

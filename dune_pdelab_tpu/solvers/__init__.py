@@ -1,0 +1,8 @@
+from dune_pdelab_tpu.solvers.linear import (
+    LinearSolverBackend, SEQ_CG_Jacobi, SEQ_CG_BlockJacobi, SEQ_BCGS_Jacobi,
+    SEQ_GMRES_Jacobi, MatrixFree_CG_Richardson,
+)
+from dune_pdelab_tpu.solvers.stationary import (
+    StationaryLinearProblemSolver, StationaryResult,
+)
+from dune_pdelab_tpu.solvers.newton import NewtonMethod, NewtonResult, NewtonError

@@ -1,0 +1,182 @@
+"""Linear solver backends: Krylov + preconditioner combinations.
+
+TPU-native analog of PDELab's ISTLBackend_SEQ_* preassembled combinations
+(reference: dune/pdelab/backend/istl/seqistlsolverbackend.hh:112-1060) and the
+matrix-free backends (reference: dune/pdelab/backend/istl/matrixfree/
+backends.hh:64 setLinearizationPoint + GO-preconditioned Krylov).
+
+A backend owns the solver choice, preconditioner recipe, and iteration
+parameters; `solve` follows the reference signature
+`backend.apply(A, z, r, reduction)` in spirit: solve J z = r to the given
+reduction, where J comes from a GridOperator either matrix-free (jvp
+closure) or assembled (BCOO).
+
+The whole Krylov loop is jitted ONCE per (backend, grid operator) pair and
+cached — preconditioner data (diagonals, block LU factors, spectral bounds)
+is computed in a setup step and passed in as arrays, so repeated solves
+(Newton steps, time steps) reuse the compiled kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.linalg import krylov, preconditioners
+
+
+@dataclass
+class LinearSolverBackend:
+    """Configurable Krylov backend.
+
+    solver:  'cg' | 'bicgstab' | 'minres' | 'gmres' | 'loop'
+    precond: 'none' | 'richardson' | 'jacobi' | 'block_jacobi' | 'chebyshev'
+             | callable(go, x_lin, time) -> (r -> M r)   (non-jitted path)
+    matrix_free: True -> go.jacobian_apply (OnTheFlyOperator analog);
+             False -> assembled BCOO matvec.
+    """
+
+    solver: str = "cg"
+    precond: Any = "jacobi"
+    maxiter: int = 5000
+    restart: int = 30
+    verbose: int = 0
+    matrix_free: bool = True
+    cheby_degree: int = 4
+    stats_history: list = field(default_factory=list)
+    _solve_cache: dict = field(default_factory=dict, repr=False)
+    _setup_cache: dict = field(default_factory=dict, repr=False)
+
+    # -- preconditioner setup: arrays only, computed per linearization ------
+    def _precond_setup(self, go, x_lin, time):
+        p = self.precond
+        if callable(p) or p in (None, "none", "richardson"):
+            return {}
+        key = id(go)
+        if getattr(go.lop, "is_linear", False) and key in self._setup_cache:
+            return self._setup_cache[key]
+        setup = {}
+        diag = go.jacobian_diagonal(x_lin, time)
+        if p == "jacobi":
+            setup = {"diag": diag}
+        elif p == "block_jacobi":
+            blocks = (go.element_diagonal_blocks(x_lin, time)
+                      if hasattr(go, "element_diagonal_blocks")
+                      else go.element_jacobians(x_lin, time))
+            dofs = jnp.asarray(go.elem_gdofs_cat, jnp.int32)
+            lu, piv = jax.scipy.linalg.lu_factor(blocks)
+            counts = jnp.zeros(go.space.ndofs,
+                               blocks.dtype).at[dofs].add(1.0)
+            setup = {"lu": lu, "piv": piv, "dofs": dofs, "counts": counts,
+                     "diag": diag}
+        elif p == "chebyshev":
+            op = lambda z: go.jacobian_apply(x_lin, z, time)
+            lmax = preconditioners.power_iteration(op, diag, go.space.ndofs,
+                                                   dtype=diag.dtype)
+            setup = {"diag": diag, "lmax": lmax}
+        else:
+            raise ValueError(f"unknown preconditioner {self.precond!r}")
+        self._setup_cache[key] = setup
+        return setup
+
+    def _make_M(self, setup, A):
+        p = self.precond
+        if p in (None, "none"):
+            return lambda r: r
+        if p == "richardson":
+            return lambda r: r
+        if p == "jacobi":
+            return lambda r: r / setup["diag"]
+        if p == "block_jacobi":
+            def apply(r):
+                r_loc = r[setup["dofs"]]
+                z_loc = jax.scipy.linalg.lu_solve(
+                    (setup["lu"], setup["piv"]), r_loc[..., None])[..., 0]
+                z = jnp.zeros_like(r).at[setup["dofs"]].add(z_loc)
+                return z / setup["counts"]
+            return apply
+        if p == "chebyshev":
+            return preconditioners.chebyshev(
+                A, setup["diag"], setup["lmax"], degree=self.cheby_degree)
+        raise ValueError(f"unknown preconditioner {self.precond!r}")
+
+    # -- jitted solve construction ------------------------------------------
+    def _build_solve(self, go, assembled):
+        kw = {"maxiter": self.maxiter}
+        if self.solver == "gmres":
+            kw["restart"] = self.restart
+        fn_solver = krylov.SOLVERS[self.solver]
+
+        if assembled:
+            def fn(mat, b, setup, tol, x0):
+                A = lambda z: mat @ z
+                M = self._make_M(setup, A)
+                return fn_solver(A, b, x0=x0, M=M, tol=tol, **kw)
+        else:
+            def fn(x_lin, b, setup, tol, time, x0):
+                A = lambda z: go.jacobian_apply(x_lin, z, time)
+                M = self._make_M(setup, A)
+                return fn_solver(A, b, x0=x0, M=M, tol=tol, **kw)
+        return jax.jit(fn)
+
+    # -- public API ----------------------------------------------------------
+    def solve(self, go, x_lin, b, reduction, time=0.0, x0=None):
+        """Solve J(x_lin) z = b to relative `reduction`; returns (z, stats)."""
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        if callable(self.precond):
+            # custom preconditioner: flexible non-jitted path
+            A = (lambda z: go.jacobian_apply(x_lin, z, time))
+            M = self.precond(go, x_lin, time)
+            kw = {"maxiter": self.maxiter}
+            if self.solver == "gmres":
+                kw["restart"] = self.restart
+            z, stats = krylov.SOLVERS[self.solver](
+                A, b, x0=x0, M=M, tol=reduction, **kw)
+        elif not self.matrix_free:
+            key = (id(go), "mat", b.dtype, b.shape)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_solve(go, assembled=True)
+            mkey = (id(go), "matval")
+            if not getattr(go.lop, "is_linear", False) or mkey not in self._setup_cache:
+                self._setup_cache[mkey] = go.jacobian(x_lin, time)
+            mat = self._setup_cache[mkey]
+            setup = self._precond_setup(go, x_lin, time)
+            z, stats = self._solve_cache[key](mat, b, setup, reduction, x0)
+        else:
+            key = (id(go), "mf", b.dtype, b.shape)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_solve(go, assembled=False)
+            setup = self._precond_setup(go, x_lin, time)
+            z, stats = self._solve_cache[key](x_lin, b, setup, reduction,
+                                              time, x0)
+        self.stats_history.append(stats)
+        if self.verbose:
+            print(f"  [{self.solver}] it={int(stats.iterations)} "
+                  f"defect {float(stats.defect0):.3e} -> {float(stats.defect):.3e} "
+                  f"converged={bool(stats.converged)}")
+        return z, stats
+
+
+# Convenience constructors mirroring common reference backends -------------
+
+def SEQ_CG_Jacobi(**kw):
+    """ISTLBackend_SEQ_CG_Jac analog (seqistlsolverbackend.hh)."""
+    return LinearSolverBackend(solver="cg", precond="jacobi", **kw)
+
+def SEQ_CG_BlockJacobi(**kw):
+    kw.setdefault("solver", "cg")
+    return LinearSolverBackend(precond="block_jacobi", **kw)
+
+def SEQ_BCGS_Jacobi(**kw):
+    """ISTLBackend_SEQ_BCGS_Jac analog."""
+    return LinearSolverBackend(solver="bicgstab", precond="jacobi", **kw)
+
+def SEQ_GMRES_Jacobi(**kw):
+    return LinearSolverBackend(solver="gmres", precond="jacobi", **kw)
+
+def MatrixFree_CG_Richardson(**kw):
+    """ISTLBackend_SEQ_MatrixFree_Richardson analog (matrixfree/backends.hh)."""
+    return LinearSolverBackend(solver="cg", precond="richardson", **kw)

@@ -1,0 +1,3 @@
+from dune_pdelab_tpu.space.space import (
+    FunctionSpace, CompositeSpace, PowerSpace, VectorSpace,
+)

@@ -1,0 +1,73 @@
+"""Discrete grid functions and norms: evaluate FE solutions, L2 errors.
+
+TPU-native analog of DiscreteGridFunction and friends (reference:
+dune/pdelab/gridfunctionspace/gridfunctionspaceutilities.hh:54 value, :491
+gradient) and the test oracles l2difference/l2norm (reference:
+dune/pdelab/test/l2difference.hh:15-34, l2norm.hh).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.assembly.geometry import VolumeGeometry
+from dune_pdelab_tpu.fe.quadrature import quadrature_rule
+
+
+def _leaf_eval_setup(space, quad_order):
+    mesh = space.mesh
+    qp, w = quadrature_rule(mesh.geometry_type, mesh.dim, quad_order)
+    geo = VolumeGeometry(mesh, qp, w)
+    vals, grads = space.fem.tabulate(qp)
+    if mesh.uniform:
+        xq = geo.origins[:, None, :] + (qp * mesh.h)[None]
+    else:
+        xq = geo.qp_phys
+    return geo, vals, grads, xq
+
+
+def evaluate_at_quadrature(space, x, quad_order=None):
+    """u_h and grad u_h at volume quadrature points of every element.
+
+    Returns (x_qp (E,nqp,dim), u (E,nqp), gradu (E,nqp,dim), factor (Eb,nqp)).
+    """
+    qo = quad_order if quad_order is not None else 2 * space.fem.degree + 2
+    geo, vals, grads, xq = _leaf_eval_setup(space, qo)
+    u_loc = x[jnp.asarray(space.element_dofs, jnp.int32)]     # (E, nb)
+    u = jnp.einsum("qb,eb->eq", jnp.asarray(vals, x.dtype), u_loc)
+    gphys = jnp.asarray(geo.transform_grad(grads), x.dtype)
+    if gphys.shape[0] == 1:
+        gu = jnp.einsum("qbd,eb->eqd", gphys[0], u_loc)
+    else:
+        gu = jnp.einsum("eqbd,eb->eqd", gphys, u_loc)
+    return xq, u, gu, jnp.asarray(geo.factor, x.dtype)
+
+
+def l2_norm(space, x, quad_order=None):
+    _, u, _, factor = evaluate_at_quadrature(space, x, quad_order)
+    return jnp.sqrt(jnp.sum(factor * u * u))
+
+
+def l2_difference(space, x, exact, quad_order=None):
+    """|| u_h - exact ||_L2 (reference: test/l2difference.hh:15-34)."""
+    xq, u, _, factor = evaluate_at_quadrature(space, x, quad_order)
+    ue = jnp.asarray(np.asarray(exact(np.asarray(xq).reshape(-1, xq.shape[-1])))
+                     .reshape(u.shape), x.dtype)
+    d = u - ue
+    return jnp.sqrt(jnp.sum(factor * d * d))
+
+
+def h1_seminorm_difference(space, x, exact_grad, quad_order=None):
+    """| u_h - exact |_H1 given the exact gradient callable."""
+    xq, _, gu, factor = evaluate_at_quadrature(space, x, quad_order)
+    ge = jnp.asarray(
+        np.asarray(exact_grad(np.asarray(xq).reshape(-1, xq.shape[-1])))
+        .reshape(gu.shape), x.dtype)
+    d = gu - ge
+    return jnp.sqrt(jnp.sum(factor * jnp.sum(d * d, axis=-1)))
+
+
+def integrate_grid_function(space, x, quad_order=None):
+    """∫ u_h dx (functionutilities.hh integrateGridFunction analog)."""
+    _, u, _, factor = evaluate_at_quadrature(space, x, quad_order)
+    return jnp.sum(factor * u)

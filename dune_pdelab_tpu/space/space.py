@@ -1,0 +1,294 @@
+"""Discrete function spaces: DOF maps as static index arrays.
+
+TPU-native analog of PDELab's GridFunctionSpace + ordering layer (reference:
+dune/pdelab/gridfunctionspace/gridfunctionspace.hh:179,
+dune/pdelab/ordering/gridviewordering.hh:688-730). PDELab builds a
+DOFIndex -> ContainerIndex map via per-geometry-type offset tables computed in
+one grid pass; here the whole ordering phase is setup-time numpy producing a
+single `element_dofs (E, nlocal) -> global index` gather/scatter map — the
+analog of LFSIndexCache after bind (reference:
+dune/pdelab/gridfunctionspace/lfsindexcache.hh:244).
+
+Composite spaces (reference: powergridfunctionspace.hh /
+compositegridfunctionspace.hh — TypeTree trees, e.g. Taylor-Hood =
+Composite(Power<dim>(Q2), Q1)) are pytrees of leaf spaces with a blocking
+strategy ('lexicographic' or 'interleaved', the analog of PDELab's ordering
+tags, reference: dune/pdelab/ordering/lexicographicordering.hh:105,
+interleavedordering.hh:28).
+
+A DOF vector is one flat jnp array; composite spaces carry per-child index
+transforms into it.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.fe.basis import FiniteElement
+from dune_pdelab_tpu.mesh.structured import StructuredMesh
+from dune_pdelab_tpu.utils.common import default_float
+
+
+class FunctionSpace:
+    """Leaf discrete space: mesh x finite element -> DOF map.
+
+    Attributes:
+      mesh, fem
+      ndofs:         global number of DOFs
+      element_dofs:  (E, nlocal) int32 numpy — local->global DOF map
+    """
+
+    is_leaf = True
+
+    def __init__(self, mesh: StructuredMesh, fem: FiniteElement, name: str = ""):
+        if fem.geometry != mesh.geometry_type:
+            raise ValueError(f"{fem} does not fit mesh geometry {mesh.geometry_type}")
+        self.mesh = mesh
+        self.fem = fem
+        self.name = name
+        if fem.continuity == "C0":
+            self.element_dofs, self._dof_grid_dims = self._build_c0_map()
+        else:
+            nb = fem.nbasis
+            self.element_dofs = (
+                np.arange(mesh.nelements, dtype=np.int64)[:, None] * nb
+                + np.arange(nb, dtype=np.int64)[None, :]
+            )
+            self._dof_grid_dims = None
+        self.ndofs = int(self.element_dofs.max()) + 1 if self.element_dofs.size else 0
+        self.element_dofs = self.element_dofs.astype(np.int32)
+
+    # -- ordering construction (the GridViewOrdering::update analog) ---------
+    def _build_c0_map(self):
+        mesh, fem = self.mesh, self.fem
+        k = fem.degree
+        if not hasattr(fem, "_mi"):
+            raise NotImplementedError(
+                f"C0 DOF layout requires a tensor nodal element, got {fem}"
+            )
+        # per-axis DOF-grid sizes; periodic axes wrap
+        dims = tuple(
+            k * c if p else k * c + 1 for c, p in zip(mesh.cells, mesh.periodic)
+        )
+        strides = np.ones(mesh.dim, dtype=np.int64)
+        for d in range(1, mesh.dim):
+            strides[d] = strides[d - 1] * dims[d - 1]
+        emi = mesh.element_multi_index()           # (E, dim)
+        lmi = fem._mi                              # (nloc, dim) local node multi-index
+        g = k * emi[:, None, :] + lmi[None, :, :]  # (E, nloc, dim)
+        g = np.mod(g, np.array(dims))
+        return g @ strides, dims
+
+    # -- pytree-ish protocol used by the assembler ---------------------------
+    @property
+    def leaves(self):
+        return (self,)
+
+    @property
+    def leaf_offsets(self):
+        return (0,)
+
+    def local_sizes(self):
+        return (self.fem.nbasis,)
+
+    def global_element_dofs(self):
+        """(E, nlocal) global DOF indices, offsets applied (leaf: identity)."""
+        return self.element_dofs
+
+    # -- node coordinates & interpolation ------------------------------------
+    def dof_coords(self) -> np.ndarray:
+        """(ndofs, dim) nodal coordinates (nodal elements only).
+
+        Computed by scattering per-element node positions; conforming spaces
+        agree on shared entities so last-write-wins is consistent.
+        """
+        nodes = self.fem.interpolation_points          # (ni, dim) == nodes
+        if self.fem.nodes is None:
+            raise NotImplementedError("modal basis has no nodal coordinates")
+        coords = np.empty((self.ndofs, self.mesh.dim))
+        pts = self._geometry_at(nodes)                 # (E, ni, dim)
+        coords[self.element_dofs.reshape(-1)] = pts.reshape(-1, self.mesh.dim)
+        return coords
+
+    def _geometry_at(self, ref_points: np.ndarray) -> np.ndarray:
+        """Map reference points into every element: (E, npts, dim)."""
+        corners = self.mesh.element_corner_coords()    # (E, C, dim)
+        from dune_pdelab_tpu.fe.basis import _cached_fem
+        geo = _cached_fem("QkFEM", 1, self.mesh.dim)
+        vals, _ = geo.tabulate(ref_points)             # (npts, C)
+        return np.einsum("pc,ecd->epd", vals, corners)
+
+    def interpolate(self, f, dtype=None):
+        """Interpolate a callable f(x) -> scalar into a DOF vector.
+
+        Analog of `Dune::PDELab::interpolate(f, gfs, x)` (reference:
+        dune/pdelab/gridfunctionspace/interpolate.hh:177): per-element local
+        interpolation (node evaluation, or discrete L2 projection for modal
+        bases) scattered into the global vector.
+        """
+        dtype = dtype or default_float()
+        pts = self._geometry_at(np.atleast_2d(self.fem.interpolation_points))
+        fvals = _eval_pointwise(f, pts)                # (E, ni)
+        coeffs = np.einsum("bi,ei->eb", self.fem.interpolation_matrix, fvals)
+        x = np.zeros(self.ndofs)
+        x[self.element_dofs.reshape(-1)] = coeffs.reshape(-1)
+        return jnp.asarray(x, dtype=dtype)
+
+    def zero(self, dtype=None):
+        return jnp.zeros(self.ndofs, dtype=dtype or default_float())
+
+    def __repr__(self):
+        return f"FunctionSpace({self.fem!r}, ndofs={self.ndofs}, name={self.name!r})"
+
+
+def _eval_pointwise(f, pts: np.ndarray) -> np.ndarray:
+    """Evaluate a scalar callable at (E, n, dim) points -> (E, n)."""
+    flat = pts.reshape(-1, pts.shape[-1])
+    try:
+        v = np.asarray(f(flat))
+        if v.shape != (flat.shape[0],):
+            raise ValueError
+    except Exception:
+        v = np.array([float(f(p)) for p in flat])
+    return v.reshape(pts.shape[:-1])
+
+
+class CompositeSpace:
+    """Heterogeneous product space (CompositeGridFunctionSpace analog).
+
+    DOF vector = one flat array; children are mapped in by `ordering`:
+      'lexicographic' — children stacked child-major (reference:
+         dune/pdelab/ordering/lexicographicordering.hh:105)
+      'interleaved'   — equal-size children interleaved per leaf DOF
+         (reference: dune/pdelab/ordering/interleavedordering.hh:28; the
+         entity-blocked layout for identical leaves)
+    """
+
+    is_leaf = False
+
+    def __init__(self, *children, ordering: str = "lexicographic", name: str = ""):
+        assert children
+        self.children = tuple(children)
+        self.ordering = ordering
+        self.name = name
+        sizes = [c.ndofs for c in self.children]
+        self.ndofs = sum(sizes)
+        if ordering == "lexicographic":
+            offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            self._child_offset = offs.astype(np.int64)
+        elif ordering == "interleaved":
+            if len(set(sizes)) != 1:
+                raise ValueError("interleaved ordering needs equal-size children")
+            self._child_offset = None
+        else:
+            raise ValueError(f"unknown ordering {ordering!r}")
+
+    @property
+    def nchildren(self):
+        return len(self.children)
+
+    def child_global(self, i: int, child_dofs: np.ndarray) -> np.ndarray:
+        """Map child-i DOF indices to flat global indices."""
+        if self.ordering == "lexicographic":
+            base = self._child_offset[i]
+            inner = self.children[i]
+            return base + child_dofs
+        # interleaved
+        return child_dofs * self.nchildren + i
+
+    # -- leaves with accumulated global index transforms ---------------------
+    @property
+    def leaves(self):
+        out = []
+        for c in self.children:
+            out.extend(c.leaves)
+        return tuple(out)
+
+    def leaf_element_dofs(self):
+        """List of (E, nlocal) global DOF maps, one per leaf, offsets applied."""
+        out = []
+        for i, c in enumerate(self.children):
+            if c.is_leaf:
+                out.append(self.child_global(i, c.element_dofs.astype(np.int64)))
+            else:
+                for m in c.leaf_element_dofs():
+                    out.append(self.child_global(i, m))
+        return out
+
+    def local_sizes(self):
+        out = []
+        for c in self.children:
+            out.extend(c.local_sizes())
+        return tuple(out)
+
+    def restrict(self, x, i: int):
+        """Extract child i's DOF subvector from the flat vector."""
+        if self.ordering == "lexicographic":
+            o = int(self._child_offset[i])
+            return x[o : o + self.children[i].ndofs]
+        return x[i :: self.nchildren]
+
+    def embed(self, x, i: int, xc):
+        """Write child i's subvector into the flat vector (functional update)."""
+        if self.ordering == "lexicographic":
+            o = int(self._child_offset[i])
+            return x.at[o : o + self.children[i].ndofs].set(xc)
+        return x.at[i :: self.nchildren].set(xc)
+
+    def interpolate(self, fs, dtype=None):
+        """Interpolate a tuple of callables (one per child) into a flat vector."""
+        dtype = dtype or default_float()
+        x = jnp.zeros(self.ndofs, dtype=dtype)
+        for i, (c, f) in enumerate(zip(self.children, fs)):
+            x = self.embed(x, i, c.interpolate(f, dtype=dtype))
+        return x
+
+    def zero(self, dtype=None):
+        return jnp.zeros(self.ndofs, dtype=dtype or default_float())
+
+    def __repr__(self):
+        return (f"CompositeSpace({', '.join(map(repr, self.children))}, "
+                f"ordering={self.ordering!r})")
+
+
+class PowerSpace(CompositeSpace):
+    """k identical copies of a child space (PowerGridFunctionSpace analog,
+    reference: dune/pdelab/gridfunctionspace/powergridfunctionspace.hh)."""
+
+    def __init__(self, child, k: int, ordering: str = "lexicographic", name: str = ""):
+        super().__init__(*([child] * k), ordering=ordering, name=name)
+        self.child = child
+        self.k = k
+
+    def interpolate(self, f, dtype=None):
+        """f may be a single callable returning a length-k vector, or a tuple."""
+        if callable(f):
+            fs = [
+                (lambda pts, i=i: np.asarray(f(pts))[..., i])
+                for i in range(self.k)
+            ]
+            return super().interpolate(fs, dtype=dtype)
+        return super().interpolate(f, dtype=dtype)
+
+
+def VectorSpace(mesh, fem, ncomp=None, ordering="lexicographic", name=""):
+    """Vector-valued space sugar (VectorGridFunctionSpace analog, reference:
+    dune/pdelab/gridfunctionspace/vectorgridfunctionspace.hh:33)."""
+    return PowerSpace(FunctionSpace(mesh, fem), ncomp or mesh.dim,
+                      ordering=ordering, name=name)
+
+
+def _leaf_boundary_dof_mask(space: FunctionSpace) -> np.ndarray:
+    """(ndofs,) bool mask of DOFs on the non-periodic domain boundary."""
+    if space.fem.continuity != "C0":
+        return np.zeros(space.ndofs, dtype=bool)
+    dims = space._dof_grid_dims
+    mesh = space.mesh
+    g = np.arange(space.ndofs, dtype=np.int64)
+    mask = np.zeros(space.ndofs, dtype=bool)
+    for d in range(mesh.dim):
+        gd = g % dims[d]
+        g = g // dims[d]
+        if not mesh.periodic[d]:
+            mask |= (gd == 0) | (gd == dims[d] - 1)
+    return mask

@@ -1,0 +1,4 @@
+from dune_pdelab_tpu.utils.common import (
+    default_float, cdiv, round_up, Timer, TimingReport,
+)
+from dune_pdelab_tpu.utils.config import ParameterTree

@@ -1,0 +1,148 @@
+"""Time integration tests (testinstationary / testheat-instationary analogs,
+reference: dune/pdelab/test/testinstationary.cc): heat equation with exact
+separable solution, temporal convergence orders, explicit RK mass solves,
+tableau consistency checks."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import (
+    StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+)
+from dune_pdelab_tpu.fe import QkDGFEM
+from dune_pdelab_tpu.ops import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM, L2,
+)
+from dune_pdelab_tpu.ops.convectiondiffusiondg import ConvectionDiffusionDG
+from dune_pdelab_tpu.instationary import (
+    OneStepMethod, ExplicitOneStepMethod, SCHEMES,
+    implicit_euler, crank_nicolson, alexander2, alexander3, heun, shu3, rk4,
+    explicit_euler, fractional_step_theta, one_step_theta,
+)
+from dune_pdelab_tpu.solvers import SEQ_CG_Jacobi
+from dune_pdelab_tpu.space.functions import l2_difference
+
+
+LAM = 2 * np.pi**2
+
+
+class HeatProblem(ConvectionDiffusionProblem):
+    """du/dt - Laplace(u) = f, u = exp(-t) sin(pi x) sin(pi y),
+    f = (LAM - 1) u; homogeneous Dirichlet."""
+
+    def u_exact(self, t):
+        return lambda p: np.exp(-t) * np.sin(np.pi * p[:, 0]) * np.sin(
+            np.pi * p[:, 1])
+
+    def f(self, x):
+        t = self.time
+        return (LAM - 1.0) * jnp.exp(-t) * jnp.sin(np.pi * x[..., 0]) * \
+            jnp.sin(np.pi * x[..., 1])
+
+
+def _tableau_consistency(scheme):
+    """Row sums of `a` must vanish (consistency: constants are preserved)."""
+    assert np.allclose(scheme.a.sum(axis=1), 0.0, atol=1e-12), scheme.name
+
+
+@pytest.mark.parametrize("name", list(SCHEMES))
+def test_tableau_consistency(name):
+    _tableau_consistency(SCHEMES[name]())
+
+
+@pytest.mark.parametrize("name", list(SCHEMES))
+def test_tableau_scalar_ode_order(name):
+    """Integrate y' = -y (m(y)=y, alpha(y)=y) exactly per the stage
+    equations and check the scheme's claimed order against exp(-1)."""
+    scheme = SCHEMES[name]()
+    errs = []
+    for nsteps in (20, 40):
+        dt = 1.0 / nsteps
+        y = 1.0
+        for _ in range(nsteps):
+            stage = [y]
+            for r in range(1, scheme.stages + 1):
+                const = sum(scheme.a[r - 1, i] * stage[i]
+                            + dt * scheme.b[r - 1, i] * stage[i]
+                            for i in range(r))
+                # a_rr y_r + dt b_rr y_r + const = 0
+                coeff = scheme.a[r - 1, r] + dt * scheme.b[r - 1, r]
+                stage.append(-const / coeff)
+            y = stage[-1]
+        errs.append(abs(y - np.exp(-1.0)))
+    order = np.log2(errs[0] / errs[1])
+    assert order > scheme.order - 0.35, (scheme.name, errs, order)
+
+
+def _heat_setup(n=12, k=1):
+    mesh = StructuredMesh([0, 0], [1, 1], (n, n))
+    V = FunctionSpace(mesh, QkFEM(k, 2))
+    p = HeatProblem()
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go0 = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    go1 = GridOperator(V, L2(), constraints=cg_)
+    return V, p, go0, go1
+
+
+def test_heat_implicit_euler():
+    V, p, go0, go1 = _heat_setup()
+    osm = OneStepMethod(implicit_euler(), go0, go1, SEQ_CG_Jacobi(),
+                        pdesolver="linear", reduction=1e-12)
+    x = V.interpolate(p.u_exact(0.0))
+    t, x = osm.solve(0.0, 0.05, 0.5, x)
+    err = float(l2_difference(V, x, p.u_exact(0.5)))
+    assert err < 0.02, err
+
+
+@pytest.mark.parametrize("scheme_fn,order,steps", [
+    # A-stable (not L-stable) schemes need dt past the stiff transient
+    (crank_nicolson, 2, (16, 32)), (fractional_step_theta, 2, (16, 32)),
+    (alexander2, 2, (4, 8)), (alexander3, 3, (8, 16)),
+])
+def test_heat_temporal_order(scheme_fn, order, steps):
+    """Temporal order isolated from the spatial error: compare against a
+    fine-dt reference of the SAME semidiscrete system, DOF-wise."""
+    V, p, go0, go1 = _heat_setup(n=6, k=2)
+    x0 = V.interpolate(p.u_exact(0.0))
+    osm_ref = OneStepMethod(alexander3(), go0, go1, SEQ_CG_Jacobi(),
+                            pdesolver="linear", reduction=1e-13)
+    _, xref = osm_ref.solve(0.0, 0.5 / 128, 0.5, x0)
+    errs = []
+    for nsteps in steps:
+        osm = OneStepMethod(scheme_fn(), go0, go1, SEQ_CG_Jacobi(),
+                            pdesolver="linear", reduction=1e-13)
+        _, x = osm.solve(0.0, 0.5 / nsteps, 0.5, x0)
+        errs.append(float(jnp.linalg.norm(x - xref)))
+    measured = np.log2(errs[0] / errs[1])
+    assert measured > order - 0.5, (errs, measured)
+
+
+def test_heat_newton_pdesolver():
+    """Newton as stage solver on the (linear) heat problem: 1 iteration."""
+    V, p, go0, go1 = _heat_setup(n=8)
+    osm = OneStepMethod(implicit_euler(), go0, go1, SEQ_CG_Jacobi(),
+                        pdesolver="newton", reduction=1e-9)
+    x = V.interpolate(p.u_exact(0.0))
+    x = osm.apply(0.0, 0.05, x)
+    assert osm.pdesolver.result.converged
+
+
+def test_explicit_heat_dg():
+    """Explicit RK heat on a DG space (exact block mass inverse)."""
+    mesh = StructuredMesh([0, 0], [1, 1], (8, 8))
+    V = FunctionSpace(mesh, QkDGFEM(1, 2))
+    p = HeatProblem()
+    go0 = GridOperator(V, ConvectionDiffusionDG(p))
+    go1 = GridOperator(V, L2())
+    osm = ExplicitOneStepMethod(heun(), go0, go1)
+    x = V.interpolate(p.u_exact(0.0))
+    dt = 2e-4  # under the SIPG diffusion CFL (~2/lambda_max, lambda ~ 1e4)
+    t, x = osm.solve(0.0, dt, 0.02, x)
+    err = float(l2_difference(V, x, p.u_exact(0.02)))
+    assert err < 0.02, err
+
+
+def test_explicit_rejects_implicit_scheme():
+    V, p, go0, go1 = _heat_setup(n=4)
+    with pytest.raises(ValueError):
+        ExplicitOneStepMethod(implicit_euler(), go0, go1)
