@@ -1,0 +1,1 @@
+from dune_pdelab_tpu.io.vtk import VTKWriter, VTKSequenceWriter

@@ -2,3 +2,4 @@ from dune_pdelab_tpu.linalg.krylov import (
     cg, bicgstab, minres, restarted_gmres, richardson_loop, SolverStats, SOLVERS,
 )
 from dune_pdelab_tpu.linalg import preconditioners
+from dune_pdelab_tpu.linalg.multigrid import GeometricMultigrid, build_prolongation

@@ -1,0 +1,189 @@
+"""Geometric multigrid on structured mesh hierarchies.
+
+TPU-native replacement for the reference's algebraic multigrid backends
+(reference: dune-istl AMG through dune/pdelab/backend/istl/
+seqistlsolverbackend.hh AMG combinations and seq_amg_dg_backend.hh:146).
+On structured meshes the geometric hierarchy is explicit — mesh.coarsen(2)
+per level — so coarse operators are re-discretizations (not Galerkin
+triple products), transfers are FE interpolation with static gather/scatter
+index maps, and smoothing is damped Jacobi (sequential SOR/SSOR smoothers do
+not map to TPU; Jacobi/Chebyshev are the data-parallel substitutes).
+
+All level operations are jitted; the V-cycle unrolls over the (static)
+level count.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+from dune_pdelab_tpu.constraints.dirichlet import constraints as make_constraints
+from dune_pdelab_tpu.fe.basis import _lagrange_coeffs, _poly_eval, lagrange_nodes_1d
+from dune_pdelab_tpu.space.space import FunctionSpace
+
+
+def _transfer_1d(k: int, nc: int, periodic: bool):
+    """1D prolongation map from a coarse Qk DOF line (nc cells) to the
+    2x-refined fine line: per fine DOF, (k+1) coarse indices + weights."""
+    nodes = lagrange_nodes_1d(k, "equidistant")
+    C = _lagrange_coeffs(nodes)
+    nfd = 2 * k * nc if periodic else 2 * k * nc + 1
+    ncd = k * nc if periodic else k * nc + 1
+    gf = np.arange(nfd)
+    s = gf / (2.0 * k)                      # position in coarse-element units
+    e = np.minimum(np.floor(s + 1e-12).astype(int), nc - 1)
+    xi = s - e
+    vals, _ = _poly_eval(C, xi)             # (nfd, k+1)
+    idx = k * e[:, None] + np.arange(k + 1)[None, :]
+    if periodic:
+        idx = idx % ncd
+    return idx.astype(np.int64), vals, nfd, ncd
+
+
+def build_prolongation(coarse_space: FunctionSpace, fine_space: FunctionSpace):
+    """(NF, m) coarse-DOF indices + interpolation weights with
+    fine = sum_j w[f, j] * coarse[idx[f, j]]."""
+    meshc, meshf = coarse_space.mesh, fine_space.mesh
+    k = fine_space.fem.degree
+    dim = meshf.dim
+    I1, W1, nfd, ncd, strides = [], [], [], [], []
+    stride = 1
+    for d in range(dim):
+        idx, w, nf_d, nc_d = _transfer_1d(k, meshc.cells[d], meshc.periodic[d])
+        I1.append(idx)
+        W1.append(w)
+        nfd.append(nf_d)
+        ncd.append(nc_d)
+        strides.append(stride)
+        stride *= nc_d
+    NF = int(np.prod(nfd))
+    assert NF == fine_space.ndofs and stride == coarse_space.ndofs
+    # decompose fine flat index (dim 0 fastest)
+    g = np.arange(NF, dtype=np.int64)
+    mi = np.empty((NF, dim), dtype=np.int64)
+    for d in range(dim):
+        mi[:, d] = g % nfd[d]
+        g = g // nfd[d]
+    idx = np.zeros((NF, 1), dtype=np.int64)
+    w = np.ones((NF, 1))
+    for d in range(dim):
+        idx = (idx[:, :, None] + (I1[d][mi[:, d]] * strides[d])[:, None, :]
+               ).reshape(NF, -1)
+        w = (w[:, :, None] * W1[d][mi[:, d]][:, None, :]).reshape(NF, -1)
+    return idx.astype(np.int32), w
+
+
+class GeometricMultigrid:
+    """V/W-cycle multigrid preconditioner for (linear) operators on a
+    structured-mesh Qk space. Usable directly as the `precond` callable of
+    LinearSolverBackend."""
+
+    def __init__(self, lop, mesh, fem, bctype=None, nlevels=None,
+                 pre_sweeps=2, post_sweeps=2, omega=0.67, cycle="v",
+                 quad_order=None, coarsest_cells=2):
+        self.lop = lop
+        self.omega = omega
+        self.pre = pre_sweeps
+        self.post = post_sweeps
+        self.cycle = cycle
+        meshes = [mesh]
+        while (nlevels is None or len(meshes) < nlevels):
+            m = meshes[-1]
+            if any(c % 2 or c < 2 * coarsest_cells for c in m.cells):
+                break
+            meshes.append(m.coarsen(2))
+        self.meshes = meshes            # fine -> coarse
+        self.spaces = [FunctionSpace(m, fem) for m in meshes]
+        self.cgs = [make_constraints(bctype, s) if bctype is not None else None
+                    for s in self.spaces]
+        self.gos = [GridOperator(s, lop, constraints=c, quad_order=quad_order)
+                    for s, c in zip(self.spaces, self.cgs)]
+        self.transfers = [
+            build_prolongation(self.spaces[l + 1], self.spaces[l])
+            for l in range(len(meshes) - 1)
+        ]   # transfers[l]: coarse level l+1 -> fine level l
+        self._apply_jit = None
+
+    @property
+    def nlevels(self):
+        return len(self.meshes)
+
+    # -- setup ----------------------------------------------------------------
+    def setup(self, x_lin=None, time=0.0):
+        """Precompute level diagonals + dense coarse factorization. For
+        nonlinear operators pass the fine-level linearization point (coarse
+        linearization points are restricted)."""
+        L = self.nlevels
+        xs = [None] * L
+        xs[0] = x_lin if x_lin is not None else jnp.zeros(self.spaces[0].ndofs)
+        for l in range(L - 1):
+            idx, w = self.transfers[l]
+            # injection-style restriction of the state: P^T scaled by row sums
+            wsum = jnp.zeros(self.spaces[l + 1].ndofs, xs[0].dtype).at[
+                jnp.asarray(idx)].add(jnp.asarray(w, xs[0].dtype))
+            xc = jnp.zeros(self.spaces[l + 1].ndofs, xs[0].dtype).at[
+                jnp.asarray(idx)].add(jnp.asarray(w, xs[0].dtype) * xs[l][:, None])
+            xs[l + 1] = xc / jnp.maximum(wsum, 1e-300)
+        self._xs = xs
+        self._time = time
+        self._diags = [go.jacobian_diagonal(x, time)
+                       for go, x in zip(self.gos, xs)]
+        Ac = np.asarray(self.gos[-1].jacobian(xs[-1], time).todense())
+        import scipy.linalg as sla
+        lu, piv = sla.lu_factor(Ac)
+        self._coarse_lu = (jnp.asarray(lu), jnp.asarray(piv.astype(np.int32)))
+        self._build_apply()
+
+    def _build_apply(self):
+        L = self.nlevels
+        gos = self.gos
+        diags = self._diags
+        xs = self._xs
+        time = self._time
+        omega = self.omega
+        transfers = [(jnp.asarray(i), jnp.asarray(w)) for i, w in self.transfers]
+        masks = [None if c is None else c.mask for c in self.cgs]
+        ncoarse = self.spaces[-1].ndofs
+        coarse_lu = self._coarse_lu
+
+        def smooth(l, z, r, sweeps):
+            for _ in range(sweeps):
+                z = z + omega * (r - gos[l].jacobian_apply(xs[l], z, time)) / diags[l]
+                if masks[l] is not None:
+                    z = jnp.where(masks[l], r, z)  # constrained: z = r (unit diag)
+            return z
+
+        def vcycle(l, r):
+            if l == L - 1:
+                return jax.scipy.linalg.lu_solve(coarse_lu, r[:, None])[:, 0]
+            z = smooth(l, jnp.zeros_like(r), r, self.pre)
+            res = r - gos[l].jacobian_apply(xs[l], z, time)
+            idx, w = transfers[l]
+            rc = jnp.zeros(gos[l + 1].space.ndofs, r.dtype).at[idx].add(
+                w.astype(r.dtype) * res[:, None])
+            if masks[l + 1] is not None:
+                rc = jnp.where(masks[l + 1], 0.0, rc)
+            zc = vcycle(l + 1, rc)
+            if self.cycle == "w" and l + 1 < L - 1:
+                rc2 = rc - gos[l + 1].jacobian_apply(xs[l + 1], zc, time)
+                zc = zc + vcycle(l + 1, rc2)
+            corr = (w.astype(r.dtype) * zc[idx]).sum(axis=1)
+            if masks[l] is not None:
+                corr = jnp.where(masks[l], 0.0, corr)
+            z = z + corr
+            return smooth(l, z, r, self.post)
+
+        self._apply_jit = jax.jit(lambda r: vcycle(0, r))
+
+    # -- preconditioner protocol ---------------------------------------------
+    def __call__(self, go, x_lin, time):
+        """LinearSolverBackend `precond` callable: (go, x_lin, time) -> M."""
+        self.setup(x_lin, time)
+        return self._apply_jit
+
+    def apply(self, r):
+        if self._apply_jit is None:
+            self.setup()
+        return self._apply_jit(r)

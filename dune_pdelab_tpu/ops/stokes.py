@@ -1,0 +1,117 @@
+"""Taylor-Hood (Navier-)Stokes operator on composite spaces.
+
+TPU-native analog of the reference's Taylor-Hood kernel (reference:
+dune/pdelab/localoperator/taylorhoodnavierstokes.hh:52 and parameter class
+stokesparameter.hh). Space layout: Composite(Power(Q_{k+1}, dim), Q_k) —
+velocity component leaves first, pressure last, mirrored from the
+reference's TypeTree construction (SURVEY.md: Taylor-Hood =
+Composite(Power<dim>(Q2), Q1)).
+
+Weak form (residual convention r(u) = 0):
+  sum_c ∫ mu ∇v_c·∇φ_c - p ∂φ_c/∂x_c + rho (v·∇)v_c φ_c - f_c φ_c dx
+  - ∫ q ∇·v dx
+with strongly imposed velocity Dirichlet values; do-nothing boundaries get
+no boundary term.
+"""
+from __future__ import annotations
+
+import copy
+
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.ops.base import LocalOperator, VolumeContext
+
+
+class NavierStokesParameters:
+    """Coefficient functions (stokesparameter.hh analog)."""
+
+    time = 0.0
+
+    def __init__(self, mu=1.0, rho=0.0):
+        self.mu = mu
+        self.rho = rho
+
+    def f(self, x):
+        """Body force (..., dim)."""
+        return jnp.zeros_like(x)
+
+    def g(self, x):
+        """Dirichlet velocity (..., dim)."""
+        return jnp.zeros_like(x)
+
+    def with_time(self, t):
+        p = copy.copy(self)
+        p.time = t
+        return p
+
+
+class TaylorHoodNavierStokes(LocalOperator):
+    """Velocity-pressure kernel; u = (v_0, ..., v_{d-1}, p) leaf tuple."""
+
+    quadrature_factor = 2
+    quadrature_add = 1
+
+    def __init__(self, params: NavierStokesParameters, navier: bool | None = None):
+        self.params = params
+        self.navier = navier if navier is not None else (params.rho != 0.0)
+        self.is_linear = not self.navier
+
+    def set_time(self, t):
+        new = copy.copy(self)
+        new.params = self.params.with_time(t)
+        return new
+
+    def alpha_volume(self, ctx: VolumeContext, u):
+        dim = ctx.x.shape[-1]
+        assert len(u) == dim + 1, "expected velocity components + pressure"
+        tab_v = ctx.tabs[0]
+        tab_p = ctx.tabs[dim]
+        mu, rho = self.params.mu, self.params.rho
+
+        vq = [self.value_at_qp(tab_v, u[c]) for c in range(dim)]        # (E,nqp)
+        gv = [self.gradient_at_qp(tab_v, u[c]) for c in range(dim)]     # (E,nqp,d)
+        pq = self.value_at_qp(tab_p, u[dim])
+
+        r = []
+        for c in range(dim):
+            wvec = mu * gv[c]
+            wvec = wvec.at[..., c].add(-pq)          # -p * d(phi_c)/dx_c
+            rc = self.accumulate_gradient(tab_v, ctx.factor, wvec)
+            if self.navier:
+                conv = sum(vq[d] * gv[c][..., d] for d in range(dim))
+                rc = rc + self.accumulate_value(tab_v, ctx.factor, rho * conv)
+            r.append(rc)
+        div = sum(gv[c][..., c] for c in range(dim))
+        r.append(self.accumulate_value(tab_p, ctx.factor, -div))
+        return tuple(r)
+
+    def lambda_volume(self, ctx: VolumeContext):
+        dim = ctx.x.shape[-1]
+        tab_v = ctx.tabs[0]
+        fval = jnp.asarray(self.params.f(ctx.x), ctx.factor.dtype)
+        fval = jnp.broadcast_to(fval, ctx.x.shape)
+        r = [self.accumulate_value(tab_v, ctx.factor, -fval[..., c])
+             for c in range(dim)]
+        r.append(jnp.zeros((ctx.x.shape[0], ctx.tabs[dim].phi.shape[1]),
+                           ctx.factor.dtype))
+        return tuple(r)
+
+
+class NavierStokesMass(LocalOperator):
+    """Temporal operator rho * ∫ v·φ for instationary NSE (reference:
+    dune/pdelab/localoperator/navierstokesmass.hh) — mass on the velocity
+    leaves only, zero on the pressure leaf."""
+
+    is_linear = True
+
+    def __init__(self, rho=1.0):
+        self.rho = rho
+
+    def alpha_volume(self, ctx: VolumeContext, u):
+        dim = ctx.x.shape[-1]
+        tab_v = ctx.tabs[0]
+        r = [self.accumulate_value(tab_v, ctx.factor,
+                                   self.rho * self.value_at_qp(tab_v, u[c]))
+             for c in range(dim)]
+        r.append(jnp.zeros_like(u[dim]))
+        return tuple(r)
