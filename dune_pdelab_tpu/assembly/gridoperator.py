@@ -80,6 +80,17 @@ class GridOperator:
         else:
             leaf_maps = space.leaf_element_dofs()
         self.leaf_dofs = [jnp.asarray(m, jnp.int32) for m in leaf_maps]
+        # pick per-leaf transfer strategies (strided-slice / reshape fast
+        # paths on structured meshes; see assembly/dofmaps.py)
+        from dune_pdelab_tpu.assembly.dofmaps import make_leaf_dof_map
+        self.dof_maps = []
+        for lf, m in zip(self.leaves, leaf_maps):
+            m64 = np.asarray(m, np.int64)
+            off = int(m64.flat[0]) - int(np.asarray(lf.element_dofs, np.int64).flat[0])
+            contiguous = np.array_equal(
+                m64, off + np.asarray(lf.element_dofs, np.int64))
+            self.dof_maps.append(
+                make_leaf_dof_map(lf, m64, offset=off if contiguous else None))
         self.local_sizes = tuple(lf.fem.nbasis for lf in self.leaves)
         self.nlocal = sum(self.local_sizes)
         self.elem_gdofs_cat = _cat_leaf_dofs(leaf_maps)  # (E, nlocal) numpy
@@ -272,18 +283,22 @@ class GridOperator:
             r = r.at[idx].add(rl.astype(r.dtype))
         return r
 
+    def _scatter_vol(self, r, r_loc):
+        for dm, rl in zip(self.dof_maps, self._pack(r_loc)):
+            r = dm.scatter_add(r, rl)
+        return r
+
     def residual_unconstrained(self, x, time=0.0):
         """Assembled residual WITHOUT the constrained-row zeroing."""
         dtype = x.dtype
         lop = self.lop.set_time(time)
         r = jnp.zeros_like(x)
-        u_leaf = [x[m] for m in self.leaf_dofs]
+        u_leaf = [dm.gather(x) for dm in self.dof_maps]
         vctx = self._volume_ctx(time, dtype)
         if self.has["alpha_volume"]:
-            r = self._scatter_add(r, self.leaf_dofs,
-                                  lop.alpha_volume(vctx, self._uarg(u_leaf)))
+            r = self._scatter_vol(r, lop.alpha_volume(vctx, self._uarg(u_leaf)))
         if self.has["lambda_volume"]:
-            r = self._scatter_add(r, self.leaf_dofs, lop.lambda_volume(vctx))
+            r = self._scatter_vol(r, lop.lambda_volume(vctx))
         for g in self.bnd_groups:
             fctx = self._face_ctx(g, time, dtype)
             uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]

@@ -10,3 +10,6 @@ from dune_pdelab_tpu.ops.convectiondiffusiondg import ConvectionDiffusionDG, DGM
 from dune_pdelab_tpu.ops.stokes import (
     NavierStokesParameters, TaylorHoodNavierStokes, NavierStokesMass,
 )
+from dune_pdelab_tpu.ops.elasticity import (
+    LinearElasticity, LinearElasticityParameters,
+)
