@@ -52,10 +52,16 @@ def main():
     x0 = jnp.zeros(N, dtype)
     b = go.residual(x0)
 
+    # compile the translation-invariant operator into a shift-MAC stencil
+    # (assembly/stencil.py) — the structured-mesh SpMV fast path; fall back
+    # to the general jvp-based matrix-free apply
+    from dune_pdelab_tpu.assembly.stencil import compile_stencil
+    st = compile_stencil(go)
+    operator = st if st is not None else (lambda p: go.jacobian_apply(x0, p))
+
     @jax.jit
     def run(b):
-        z, stats = cg(lambda p: go.jacobian_apply(x0, p), b,
-                      tol=0.0, atol=1e-30, maxiter=iters)
+        z, stats = cg(operator, b, tol=0.0, atol=1e-30, maxiter=iters)
         return z, stats.iterations, stats.defect
 
     z, it, defect = run(b)

@@ -43,6 +43,16 @@ def _poly_eval(C: np.ndarray, x: np.ndarray):
     return powers @ C, dpowers @ C                   # (npts, nb) each
 
 
+def _poly_eval2(C: np.ndarray, x: np.ndarray):
+    """Second derivatives of the polynomials given monomial coeffs C."""
+    n = C.shape[0]
+    powers = np.vander(x, n, increasing=True)
+    d2 = np.zeros_like(powers)
+    if n > 2:
+        d2[:, 2:] = powers[:, :-2] * (np.arange(2, n) * np.arange(1, n - 1))
+    return d2 @ C
+
+
 def lagrange_nodes_1d(k: int, variant: str = "equidistant") -> np.ndarray:
     if k == 0:
         return np.array([0.5])
@@ -142,6 +152,32 @@ class _TensorLagrange(FiniteElement):
                 gg *= f[:, mi[:, d]]
             grads[:, :, g] = gg
         return vals, grads
+
+    def tabulate_hessian(self, points: np.ndarray):
+        """(npts, nb, dim, dim) second derivatives (for error estimators)."""
+        points = np.atleast_2d(points)
+        vals1, ders1, ders2 = [], [], []
+        for d in range(self.dim):
+            v, dv = _poly_eval(self._C, points[:, d])
+            vals1.append(v)
+            ders1.append(dv)
+            ders2.append(_poly_eval2(self._C, points[:, d]))
+        mi = self._mi
+        npts = points.shape[0]
+        H = np.empty((npts, self.nbasis, self.dim, self.dim))
+        for a in range(self.dim):
+            for b in range(self.dim):
+                gg = np.ones((npts, self.nbasis))
+                for d in range(self.dim):
+                    if d == a == b:
+                        f = ders2[d]
+                    elif d in (a, b):
+                        f = ders1[d]
+                    else:
+                        f = vals1[d]
+                    gg *= f[:, mi[:, d]]
+                H[:, :, a, b] = gg
+        return H
 
 
 class QkFEM(_TensorLagrange):

@@ -44,10 +44,24 @@ class LinearSolverBackend:
     restart: int = 30
     verbose: int = 0
     matrix_free: bool = True
+    # try to compile linear translation-invariant operators into shift-MAC
+    # stencils (assembly/stencil.py) — the fast structured SpMV on TPU
+    use_stencil: bool = True
     cheby_degree: int = 4
     stats_history: list = field(default_factory=list)
     _solve_cache: dict = field(default_factory=dict, repr=False)
     _setup_cache: dict = field(default_factory=dict, repr=False)
+
+    def _stencil_for(self, go, x_lin, time):
+        key = (id(go), "stencil")
+        if key not in self._setup_cache:
+            from dune_pdelab_tpu.assembly.stencil import compile_stencil
+            try:
+                st = compile_stencil(go, x_lin, time)
+            except Exception:
+                st = None
+            self._setup_cache[key] = st
+        return self._setup_cache[key]
 
     # -- preconditioner setup: arrays only, computed per linearization ------
     def _precond_setup(self, go, x_lin, time):
@@ -109,11 +123,16 @@ class LinearSolverBackend:
             kw["restart"] = self.restart
         fn_solver = krylov.SOLVERS[self.solver]
 
-        if assembled:
+        if assembled == "mat":
             def fn(mat, b, setup, tol, x0):
                 A = lambda z: mat @ z
                 M = self._make_M(setup, A)
                 return fn_solver(A, b, x0=x0, M=M, tol=tol, **kw)
+        elif assembled == "stencil":
+            st = go  # second arg doubles as the stencil operator
+            def fn(b, setup, tol, x0):
+                M = self._make_M(setup, st)
+                return fn_solver(st, b, x0=x0, M=M, tol=tol, **kw)
         else:
             def fn(x_lin, b, setup, tol, time, x0):
                 A = lambda z: go.jacobian_apply(x_lin, z, time)
@@ -138,13 +157,21 @@ class LinearSolverBackend:
         elif not self.matrix_free:
             key = (id(go), "mat", b.dtype, b.shape)
             if key not in self._solve_cache:
-                self._solve_cache[key] = self._build_solve(go, assembled=True)
+                self._solve_cache[key] = self._build_solve(go, assembled="mat")
             mkey = (id(go), "matval")
             if not getattr(go.lop, "is_linear", False) or mkey not in self._setup_cache:
                 self._setup_cache[mkey] = go.jacobian(x_lin, time)
             mat = self._setup_cache[mkey]
             setup = self._precond_setup(go, x_lin, time)
             z, stats = self._solve_cache[key](mat, b, setup, reduction, x0)
+        elif (self.use_stencil and getattr(go.lop, "is_linear", False)
+              and self._stencil_for(go, x_lin, time) is not None):
+            st = self._stencil_for(go, x_lin, time)
+            key = (id(go), "st", b.dtype, b.shape)
+            if key not in self._solve_cache:
+                self._solve_cache[key] = self._build_solve(st, assembled="stencil")
+            setup = self._precond_setup(go, x_lin, time)
+            z, stats = self._solve_cache[key](b, setup, reduction, x0)
         else:
             key = (id(go), "mf", b.dtype, b.shape)
             if key not in self._solve_cache:

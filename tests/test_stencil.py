@@ -1,0 +1,66 @@
+"""Stencil compilation tests: compiled shift-MAC operator must match the
+general matrix-free jacobian_apply exactly (BCRS SpMV replacement oracle)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import (
+    StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+)
+from dune_pdelab_tpu.ops import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+)
+from dune_pdelab_tpu.assembly.stencil import compile_stencil
+
+
+class ConstCoeff(ConvectionDiffusionProblem):
+    def A(self, x):
+        return 2.0
+
+    def b(self, x):
+        return jnp.broadcast_to(jnp.array([0.5, -0.25][:x.shape[-1]]
+                                          if x.shape[-1] == 2 else
+                                          [0.5, -0.25, 0.1]), x.shape)
+
+    def c(self, x):
+        return 0.3
+
+
+class VarCoeff(ConvectionDiffusionProblem):
+    def A(self, x):
+        return 1.0 + x[..., 0]
+
+
+@pytest.mark.parametrize("dim,k,n", [(2, 1, 10), (2, 2, 10), (3, 1, 6),
+                                     (3, 2, 6)])
+def test_stencil_matches_matrix_free(dim, k, n):
+    p = ConstCoeff()
+    mesh = StructuredMesh([0] * dim, [1] * dim, (n,) * dim)
+    V = FunctionSpace(mesh, QkFEM(k, dim))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    st = compile_stencil(go)
+    assert st is not None
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        z = jnp.asarray(rng.standard_normal(V.ndofs))
+        y1 = go.jacobian_apply(jnp.zeros(V.ndofs), z)
+        y2 = st(z)
+        assert float(jnp.linalg.norm(y1 - y2)) < 1e-11 * float(
+            jnp.linalg.norm(y1)), (dim, k)
+
+
+def test_stencil_refuses_variable_coefficients():
+    mesh = StructuredMesh([0, 0], [1, 1], (10, 10))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(VarCoeff()), constraints=cg_)
+    assert compile_stencil(go) is None
+
+
+def test_stencil_refuses_partial_dirichlet():
+    mesh = StructuredMesh([0, 0], [1, 1], (10, 10))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cg_ = constraints(lambda x: np.isclose(x[:, 0], 0.0), V)
+    go = GridOperator(V, ConvectionDiffusionFEM(ConstCoeff()), constraints=cg_)
+    assert compile_stencil(go) is None
