@@ -1,0 +1,118 @@
+"""One-liner application drivers (the "boilerplate" layer).
+
+TPU-native analog of the reference convenience layer (reference:
+dune/pdelab/boilerplate/pdelab.hh — StructuredGrid :90, CGSpace :581,
+DG*Space :890-1376, P0Space :1376, GalerkinGlobalAssembler :1508, solver
+wrappers): construct space + operator + solver from a handful of arguments
+or an INI ParameterTree, so a new simulation is ~20 lines.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.mesh.structured import StructuredMesh
+from dune_pdelab_tpu.fe.basis import QkFEM, QkDGFEM, P0FEM, LegendreDGFEM
+from dune_pdelab_tpu.space.space import FunctionSpace
+from dune_pdelab_tpu.constraints.dirichlet import constraints as make_constraints
+from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+from dune_pdelab_tpu.solvers.linear import LinearSolverBackend
+from dune_pdelab_tpu.solvers.stationary import StationaryLinearProblemSolver
+from dune_pdelab_tpu.solvers.newton import NewtonMethod
+from dune_pdelab_tpu.utils.config import ParameterTree
+
+
+def StructuredGrid(dim: int, cells, lower=None, upper=None, periodic=None):
+    """StructuredGrid analog (boilerplate/pdelab.hh:90)."""
+    lower = lower if lower is not None else [0.0] * dim
+    upper = upper if upper is not None else [1.0] * dim
+    cells = (cells,) * dim if np.isscalar(cells) else tuple(cells)
+    return StructuredMesh(lower, upper, cells, periodic=periodic)
+
+
+def CGSpace(mesh, degree: int = 1, name: str = "u"):
+    """Conforming Lagrange space (boilerplate/pdelab.hh:581)."""
+    return FunctionSpace(mesh, QkFEM(degree, mesh.dim), name=name)
+
+
+def DGSpace(mesh, degree: int = 1, variant: str = "equidistant",
+            name: str = "u"):
+    """DG space; variant in {'equidistant','gl','lobatto','legendre'}
+    (DG{Qk,QkGL,QkOPB,Legendre}Space analogs, boilerplate/pdelab.hh:890)."""
+    fem = (LegendreDGFEM(degree, mesh.dim) if variant == "legendre"
+           else QkDGFEM(degree, mesh.dim, variant))
+    return FunctionSpace(mesh, fem, name=name)
+
+
+def P0Space(mesh, name: str = "u"):
+    return FunctionSpace(mesh, P0FEM(mesh.dim), name=name)
+
+
+def GalerkinGlobalAssembler(space, lop, constraints=None, quad_order=None):
+    """GalerkinGlobalAssembler analog (boilerplate/pdelab.hh:1508)."""
+    return GridOperator(space, lop, constraints=constraints,
+                        quad_order=quad_order)
+
+
+def linear_solver_from_config(ptree: ParameterTree | dict | None = None, **kw):
+    """Build a LinearSolverBackend from INI-style keys:
+    [linear_solver] type=cg|bicgstab|gmres|minres, preconditioner=...,
+    maxiter=, restart=, verbose= (ISTL backend selection analog)."""
+    if isinstance(ptree, dict):
+        ptree = ParameterTree(ptree)
+    cfg = ptree or ParameterTree()
+    return LinearSolverBackend(
+        solver=cfg.get("type", kw.pop("solver", "cg")),
+        precond=cfg.get("preconditioner", kw.pop("precond", "jacobi")),
+        maxiter=cfg.get("maxiter", 5000, int),
+        restart=cfg.get("restart", 30, int),
+        verbose=cfg.get("verbose", 0, int),
+        **kw,
+    )
+
+
+@dataclass
+class StationaryResultBundle:
+    space: Any
+    x: Any
+    solver: Any
+    constraints: Any = None
+
+    @property
+    def iterations(self):
+        return self.solver.result.linear_solver_iterations
+
+    def vtk(self, path, name="u"):
+        from dune_pdelab_tpu.io.vtk import VTKWriter
+        return VTKWriter(self.space.mesh).add_field(
+            self.space, self.x, name).write(path)
+
+
+def solve_stationary(space, lop, bctype=None, dirichlet=None,
+                     linear_solver=None, reduction=1e-10, nonlinear=False,
+                     verbose=0, ptree=None, **newton_kw):
+    """Assemble + solve a (non)linear stationary problem in one call.
+
+    bctype: constraints specification (True / callable / tuple);
+    dirichlet: boundary value callable for the initial interpolation.
+    """
+    cg_ = make_constraints(bctype, space) if bctype is not None else None
+    go = GridOperator(space, lop, constraints=cg_)
+    ls = linear_solver or linear_solver_from_config(
+        ptree.sub("linear_solver") if ptree else None)
+    x0 = space.zero()
+    if dirichlet is not None and cg_ is not None:
+        from dune_pdelab_tpu.constraints.dirichlet import interpolate_dirichlet
+        x0 = interpolate_dirichlet(dirichlet, space, cg_, x0)
+    if nonlinear:
+        solver = NewtonMethod(go, ls, verbose=verbose, **newton_kw)
+        if ptree and "newton.reduction" in ptree:
+            solver = NewtonMethod.from_parameters(go, ls, ptree.sub("newton"))
+    else:
+        solver = StationaryLinearProblemSolver(go, ls, reduction=reduction,
+                                               verbose=verbose)
+    x = solver.apply(x0)
+    return StationaryResultBundle(space, x, solver, cg_)

@@ -1,0 +1,208 @@
+"""The five BASELINE.json target configurations as runnable model drivers.
+
+Each function builds, solves, and validates one of the benchmark problem
+configurations (BASELINE.md "Target configs"); they double as end-to-end
+examples of the framework API (tutorial-series analog of the reference).
+Every driver returns a dict with solution quality and solver statistics.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.models.boilerplate import (
+    StructuredGrid, CGSpace, DGSpace, solve_stationary,
+)
+from dune_pdelab_tpu.ops.convectiondiffusion import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+)
+from dune_pdelab_tpu.ops.convectiondiffusiondg import ConvectionDiffusionDG
+from dune_pdelab_tpu.ops.l2 import L2
+from dune_pdelab_tpu.solvers.linear import LinearSolverBackend, SEQ_BCGS_Jacobi
+from dune_pdelab_tpu.space.functions import l2_difference
+
+
+class _Sine2D(ConvectionDiffusionProblem):
+    def exact(self, p):
+        return np.sin(np.pi * p[:, 0]) * np.cos(2 * np.pi * p[:, 1]) + p[:, 0]
+
+    def f(self, x):
+        return 5 * np.pi**2 * jnp.sin(np.pi * x[..., 0]) * jnp.cos(
+            2 * np.pi * x[..., 1])
+
+    def g(self, x):
+        return jnp.sin(np.pi * x[..., 0]) * jnp.cos(2 * np.pi * x[..., 1]) \
+            + x[..., 0]
+
+
+class _Sine3D(ConvectionDiffusionProblem):
+    def exact(self, p):
+        return (np.sin(np.pi * p[:, 0]) * np.sin(np.pi * p[:, 1])
+                * np.sin(np.pi * p[:, 2]))
+
+    def f(self, x):
+        return 3 * np.pi**2 * jnp.sin(np.pi * x[..., 0]) * jnp.sin(
+            np.pi * x[..., 1]) * jnp.sin(np.pi * x[..., 2])
+
+    def g(self, x):
+        return jnp.zeros(x.shape[:-1])
+
+
+def config1_poisson_2d_mf(cells=64, reduction=1e-10):
+    """(1) 2D Poisson Q1, matrix-free CG + Jacobi (tutorial00 analog)."""
+    p = _Sine2D()
+    mesh = StructuredGrid(2, cells)
+    V = CGSpace(mesh, 1)
+    ls = LinearSolverBackend(solver="cg", precond="jacobi", use_stencil=False)
+    res = solve_stationary(V, ConvectionDiffusionFEM(p),
+                           bctype=p.dirichlet_bctype(),
+                           dirichlet=lambda q: np.asarray(p.g(jnp.asarray(q))),
+                           linear_solver=ls, reduction=reduction)
+    return {"l2_error": float(l2_difference(V, res.x, p.exact)),
+            "iterations": res.iterations, "ndofs": V.ndofs,
+            "converged": res.solver.result.converged}
+
+
+def config2_poisson_3d_gmg(cells=16, reduction=1e-10):
+    """(2) 3D Poisson Q2, CG + geometric multigrid."""
+    from dune_pdelab_tpu.linalg.multigrid import GeometricMultigrid
+    from dune_pdelab_tpu.fe.basis import QkFEM
+    p = _Sine3D()
+    mesh = StructuredGrid(3, cells)
+    V = CGSpace(mesh, 2)
+    gmg = GeometricMultigrid(ConvectionDiffusionFEM(p), mesh, QkFEM(2, 3),
+                             bctype=p.dirichlet_bctype())
+    ls = LinearSolverBackend(solver="cg", precond=gmg)
+    res = solve_stationary(V, ConvectionDiffusionFEM(p),
+                           bctype=p.dirichlet_bctype(),
+                           linear_solver=ls, reduction=reduction)
+    return {"l2_error": float(l2_difference(V, res.x, p.exact)),
+            "iterations": res.iterations, "ndofs": V.ndofs,
+            "levels": gmg.nlevels,
+            "converged": res.solver.result.converged}
+
+
+def config3_convdiff_sipg(cells=32, degree=2, reduction=1e-10):
+    """(3) Convection-diffusion SIPG DG + BiCGStab (upwinded)."""
+    class CD(_Sine2D):
+        def A(self, x):
+            return 1.0
+
+        def b(self, x):
+            return jnp.broadcast_to(jnp.array([1.0, 0.5]), x.shape)
+
+        def f(self, x):
+            # adjust source for the convection term: b . grad(exact)
+            gx = (np.pi * jnp.cos(np.pi * x[..., 0]) * jnp.cos(
+                2 * np.pi * x[..., 1]) + 1.0)
+            gy = -2 * np.pi * jnp.sin(np.pi * x[..., 0]) * jnp.sin(
+                2 * np.pi * x[..., 1])
+            return super().f(x) + 1.0 * gx + 0.5 * gy
+
+    p = CD()
+    mesh = StructuredGrid(2, cells)
+    V = DGSpace(mesh, degree)
+    res = solve_stationary(V, ConvectionDiffusionDG(p),
+                           linear_solver=SEQ_BCGS_Jacobi(),
+                           reduction=reduction)
+    return {"l2_error": float(l2_difference(V, res.x, p.exact)),
+            "iterations": res.iterations, "ndofs": V.ndofs,
+            "converged": res.solver.result.converged}
+
+
+def config4_heat_theta_newton(cells=16, nsteps=10, dt=0.02):
+    """(4) Instationary heat, one-step-theta (CN) + Newton per step."""
+    from dune_pdelab_tpu.instationary import OneStepMethod, crank_nicolson
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.constraints.dirichlet import constraints
+    LAM = 2 * np.pi**2
+
+    class HP(ConvectionDiffusionProblem):
+        def u_exact(self, t):
+            return lambda p: np.exp(-t) * np.sin(np.pi * p[:, 0]) * np.sin(
+                np.pi * p[:, 1])
+
+        def f(self, x):
+            return (LAM - 1.0) * jnp.exp(-self.time) * jnp.sin(
+                np.pi * x[..., 0]) * jnp.sin(np.pi * x[..., 1])
+
+    p = HP()
+    mesh = StructuredGrid(2, cells)
+    V = CGSpace(mesh, 1)
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go0 = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    go1 = GridOperator(V, L2(), constraints=cg_)
+    osm = OneStepMethod(crank_nicolson(), go0, go1,
+                        LinearSolverBackend(solver="cg", precond="jacobi"),
+                        pdesolver="newton", reduction=1e-9)
+    x = V.interpolate(p.u_exact(0.0))
+    t = 0.0
+    for _ in range(nsteps):
+        x = osm.apply(t, dt, x)
+        t += dt
+    return {"l2_error": float(l2_difference(V, x, p.u_exact(t))),
+            "t_final": t, "ndofs": V.ndofs,
+            "newton_iterations": osm.result.total_newton_iterations}
+
+
+def config5_stokes_taylor_hood(cells=8, reduction=1e-9):
+    """(5) Stokes Taylor-Hood Q2/Q1, block-preconditioned GMRES."""
+    from dune_pdelab_tpu.ops.stokes import TaylorHoodNavierStokes
+    from dune_pdelab_tpu.solvers.stokes import (
+        taylor_hood_space, stokes_constraints, StokesBlockJacobi,
+    )
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.solvers.stationary import StationaryLinearProblemSolver
+
+    def _a(x):
+        return x**2 * (1 - x) ** 2
+
+    def _da(x):
+        return 2 * x * (1 - x) * (1 - 2 * x)
+
+    def _dda(x):
+        return 12 * x**2 - 12 * x + 2
+
+    def _ddda(x):
+        return 24 * x - 12
+
+    from dune_pdelab_tpu.ops.stokes import NavierStokesParameters
+
+    class MS(NavierStokesParameters):
+        def __init__(self):
+            super().__init__(mu=1.0, rho=0.0)
+
+        def f(self, x):
+            xx, yy = x[..., 0], x[..., 1]
+            f1 = -(_dda(xx) * _da(yy) + _a(xx) * _ddda(yy)) + 3 * xx**2
+            f2 = (_ddda(xx) * _a(yy) + _da(xx) * _dda(yy)) + 3 * yy**2
+            return jnp.stack([f1, f2], axis=-1)
+
+    mesh = StructuredGrid(2, cells)
+    W = taylor_hood_space(mesh, 2)
+    cg_ = stokes_constraints(W)
+    go = GridOperator(W, TaylorHoodNavierStokes(MS()), constraints=cg_)
+    ls = LinearSolverBackend(solver="gmres", precond=StokesBlockJacobi(W),
+                             restart=100, maxiter=20000)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=reduction, verbose=0)
+    x = slp.apply(W.zero())
+    Vv = W.children[0].children[0]
+    err2 = 0.0
+    for c in range(2):
+        xc = W.children[0].restrict(W.restrict(x, 0), c)
+        ue = (lambda p, c=c: np.stack(
+            [_a(p[:, 0]) * _da(p[:, 1]), -_da(p[:, 0]) * _a(p[:, 1])],
+            axis=-1)[:, c])
+        err2 += float(l2_difference(Vv, xc, ue)) ** 2
+    return {"velocity_l2_error": float(np.sqrt(err2)),
+            "iterations": slp.result.linear_solver_iterations,
+            "ndofs": W.ndofs, "converged": slp.result.converged}
+
+
+ALL_CONFIGS = {
+    "config1": config1_poisson_2d_mf,
+    "config2": config2_poisson_3d_gmg,
+    "config3": config3_convdiff_sipg,
+    "config4": config4_heat_theta_newton,
+    "config5": config5_stokes_taylor_hood,
+}
