@@ -103,10 +103,7 @@ class GridOperator:
         self.vol_geo = VolumeGeometry(mesh, qp, w)
         self._vol_tabs = []
         for lf in self.leaves:
-            vals, grads = lf.fem.tabulate(qp)
-            self._vol_tabs.append(
-                (vals, self.vol_geo.transform_grad(grads), grads, lf.fem.degree)
-            )
+            self._vol_tabs.append(self._make_tab(lf, qp, self.vol_geo))
         self._vol_weights = w
 
         # --- face precomputation -----------------------------------------
@@ -136,13 +133,29 @@ class GridOperator:
     def _face_rule(self):
         return quadrature_rule("cube", self.mesh.dim - 1, self.qorder)
 
+    def _make_tab(self, lf, pts_ref, geo=None):
+        """Raw tab tuple for a leaf at reference points; handles scalar and
+        H(div) (Piola-mapped) elements. Uniform-mesh geometry only for the
+        fast paths; `geo` covers the general volume case for scalars."""
+        fem = lf.fem
+        if fem.continuity == "Hdiv":
+            if not self.mesh.uniform:
+                raise NotImplementedError("H(div) on mapped meshes")
+            h = self.mesh.h
+            detJ = float(np.prod(h))
+            vecs = fem.tabulate_vector(pts_ref) * (h / detJ)  # Piola
+            divs = fem.tabulate_div(pts_ref) / detJ
+            return (None, None, None, fem.degree, vecs, divs)
+        vals, grads = fem.tabulate(pts_ref)
+        if geo is not None:
+            gphys = geo.transform_grad(grads)
+        else:
+            gphys = (grads / self.mesh.h)[None]
+        return (vals, gphys, grads, fem.degree, None, None)
+
     def _tab_at(self, pts_ref, geo: FaceGeometry):
-        """Per-leaf LeafTab at embedded face points (uniform geometry)."""
-        tabs = []
-        for lf in self.leaves:
-            vals, grads = lf.fem.tabulate(pts_ref)
-            tabs.append((vals, (grads / self.mesh.h)[None], grads, lf.fem.degree))
-        return tabs
+        """Per-leaf raw tabs at embedded face points (uniform geometry)."""
+        return [self._make_tab(lf, pts_ref) for lf in self.leaves]
 
     def _build_boundary_groups(self, leaf_maps):
         mesh = self.mesh
@@ -208,15 +221,20 @@ class GridOperator:
     # in-trace context construction
     # ------------------------------------------------------------------
     def _leaf_tabs(self, raw_tabs, dtype):
-        return tuple(
-            LeafTab(
-                phi=jnp.asarray(v, dtype),
-                grad=jnp.asarray(gphys, dtype),
-                ref_grad=jnp.asarray(gref, dtype),
+        out = []
+        for t in raw_tabs:
+            v, gphys, gref, deg = t[0], t[1], t[2], t[3]
+            vec = t[4] if len(t) > 4 else None
+            dv = t[5] if len(t) > 5 else None
+            out.append(LeafTab(
+                phi=None if v is None else jnp.asarray(v, dtype),
+                grad=None if gphys is None else jnp.asarray(gphys, dtype),
+                ref_grad=None if gref is None else jnp.asarray(gref, dtype),
                 degree=deg,
-            )
-            for (v, gphys, gref, deg) in raw_tabs
-        )
+                vec_phi=None if vec is None else jnp.asarray(vec, dtype),
+                div=None if dv is None else jnp.asarray(dv, dtype),
+            ))
+        return tuple(out)
 
     def _volume_ctx(self, time, dtype) -> VolumeContext:
         vg = self.vol_geo

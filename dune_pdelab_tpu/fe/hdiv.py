@@ -1,0 +1,165 @@
+"""H(div)-conforming vector finite elements: Raviart-Thomas (lowest order)
+and BDM1 on cubes.
+
+TPU-native analog of the reference's H(div) FiniteElementMaps (reference:
+dune/pdelab/finiteelementmap/raviartthomasfem.hh, rt0cube2dfem.hh,
+rt0cube3dfem.hh, brezzidouglasmarinifem.hh:81). DOFs are face moments of the
+normal component with the GLOBAL face normal +e_axis; on structured meshes
+all shared-face normals agree, so no per-element orientation flips are
+needed (the RT0 constraints of the reference, constraints/raviartthomas0.hh,
+become trivial).
+
+Vector elements provide `tabulate_vector` (values (npts, nb, dim)) and
+`tabulate_div` ((npts, nb)) on the reference cube; the assembler applies the
+contravariant Piola scaling for the (uniform) geometry.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class VectorFiniteElement:
+    geometry = "cube"
+    continuity = "Hdiv"
+    nodes = None
+
+    def tabulate_vector(self, points):
+        raise NotImplementedError
+
+    def tabulate_div(self, points):
+        raise NotImplementedError
+
+    def tabulate(self, points):
+        raise TypeError("vector element: use tabulate_vector/tabulate_div")
+
+    def __repr__(self):
+        return (f"{self.__class__.__name__}(dim={self.dim}, "
+                f"nbasis={self.nbasis}, Hdiv)")
+
+
+class RT0Cube(VectorFiniteElement):
+    """Lowest-order Raviart-Thomas on the reference cube.
+
+    Basis ordered (axis, side): [(a=0,s=0),(a=0,s=1),(a=1,s=0),...];
+    phi_(a,0) = (1-x_a) * (-e_a ... sign choice: unit flux in +e_a on its
+    face, zero on all others:
+        phi_(a,s) . e_a = (1-x_a) if s==0 else x_a,   other components 0
+    => div phi_(a,0) = -1, div phi_(a,1) = +1.
+    """
+
+    degree = 1
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.nbasis = 2 * dim
+        # face of dof i: axis i//2, side i%2
+        self.dof_axis = np.repeat(np.arange(dim), 2)
+        self.dof_side = np.tile([0, 1], dim)
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        npts = points.shape[0]
+        v = np.zeros((npts, self.nbasis, self.dim))
+        for a in range(self.dim):
+            v[:, 2 * a, a] = 1.0 - points[:, a]
+            v[:, 2 * a + 1, a] = points[:, a]
+        return v
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        npts = points.shape[0]
+        d = np.zeros((npts, self.nbasis))
+        for a in range(self.dim):
+            d[:, 2 * a] = -1.0
+            d[:, 2 * a + 1] = 1.0
+        return d
+
+
+class BDM1Cube(VectorFiniteElement):
+    """Brezzi-Douglas-Marini order 1 on the reference square (2D).
+
+    8 DOFs: two moments (constant + linear) of the normal component per
+    face, global +axis normals (reference: brezzidouglasmarinifem.hh:81).
+    Basis built by moment-matching on the standard BDM1 space
+    span{(1,0),(x,0),(y,0),(0,1),(0,x),(0,y),(x^2,-2xy),(-2xy? ...)} — for
+    the cube: P1(dim)^2 + span{curl(x^2 y), curl(x y^2)}.
+    """
+
+    degree = 1
+
+    def __init__(self, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("BDM1Cube: 2D only")
+        self.dim = 2
+        self.nbasis = 8
+        self.dof_axis = np.repeat(np.arange(2), 4)[:8:1][:8]
+        # monomial basis for the BDM1 space on the square:
+        # (1,0),(x,0),(y,0),(0,1),(0,x),(0,y), curl(x^2 y)=(x^2,-2xy),
+        # curl(x y^2)=(2xy,-y^2)
+        self._funcs = [
+            lambda x, y: (np.ones_like(x), np.zeros_like(x)),
+            lambda x, y: (x, np.zeros_like(x)),
+            lambda x, y: (y, np.zeros_like(x)),
+            lambda x, y: (np.zeros_like(x), np.ones_like(x)),
+            lambda x, y: (np.zeros_like(x), x),
+            lambda x, y: (np.zeros_like(x), y),
+            lambda x, y: (x * x, -2 * x * y),
+            lambda x, y: (2 * x * y, -y * y),
+        ]
+        self._divs = [
+            lambda x, y: np.zeros_like(x),
+            lambda x, y: np.ones_like(x),
+            lambda x, y: np.zeros_like(x),
+            lambda x, y: np.zeros_like(x),
+            lambda x, y: np.zeros_like(x),
+            lambda x, y: np.ones_like(x),
+            lambda x, y: np.zeros_like(x),   # div curl = 0
+            lambda x, y: np.zeros_like(x),
+        ]
+        self._C = np.linalg.inv(self._dof_matrix())
+
+    # DOFs: per face (a, s): moments against 1 and (2t-1) of v.e_a, where t
+    # is the tangential coordinate. Order: (a0,s0,m0),(a0,s0,m1),(a0,s1,m0),...
+    def _dofs_of(self, fx, fdiv=None):
+        from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+        xq, wq = gauss_legendre(5)
+        out = []
+        for a in range(2):
+            t_axis = 1 - a
+            for s in (0, 1):
+                pts = np.zeros((len(xq), 2))
+                pts[:, a] = float(s)
+                pts[:, t_axis] = xq
+                vx, vy = fx(pts[:, 0], pts[:, 1])
+                vn = vx if a == 0 else vy
+                out.append(np.dot(wq, vn))
+                out.append(np.dot(wq * (2 * xq - 1), vn))
+        return out
+
+    def _dof_matrix(self):
+        M = np.zeros((8, 8))
+        for j, f in enumerate(self._funcs):
+            M[:, j] = self._dofs_of(f)
+        return M
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        x, y = points[:, 0], points[:, 1]
+        raw = np.zeros((len(points), 8, 2))
+        for j, f in enumerate(self._funcs):
+            vx, vy = f(x, y)
+            raw[:, j, 0] = vx
+            raw[:, j, 1] = vy
+        return np.einsum("pjd,jb->pbd", raw, self._C)
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        x, y = points[:, 0], points[:, 1]
+        raw = np.zeros((len(points), 8))
+        for j, f in enumerate(self._divs):
+            raw[:, j] = f(x, y)
+        return raw @ self._C
+
+    @property
+    def ndofs_per_face(self):
+        return 2

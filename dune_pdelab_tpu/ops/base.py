@@ -46,6 +46,8 @@ class LeafTab:
     grad: Any         # (Eb, nqp, nb, dim) physical gradients
     ref_grad: Any     # (nqp, nb, dim) reference gradients
     degree: int = 1   # polynomial degree of the leaf element
+    vec_phi: Any = None   # H(div) elements: (nqp, nb, dim) Piola-mapped values
+    div: Any = None       # H(div) elements: (nqp, nb) physical divergence
 
 
 @dataclass(frozen=True)
@@ -177,6 +179,27 @@ class LocalOperator:
         if tab.grad.shape[0] == 1:
             return jnp.einsum("qbd,eqd->eb", tab.grad[0], wv)
         return jnp.einsum("eqbd,eqd->eb", tab.grad, wv)
+
+    # -- H(div) vector-element helpers --------------------------------------
+    @staticmethod
+    def hdiv_value_at_qp(tab: LeafTab, u):
+        """vector value of an H(div) field: (E, nloc) -> (E, nqp, dim)."""
+        return jnp.einsum("qbd,eb->eqd", tab.vec_phi, u)
+
+    @staticmethod
+    def div_at_qp(tab: LeafTab, u):
+        """divergence of an H(div) field: (E, nloc) -> (E, nqp)."""
+        return jnp.einsum("qb,eb->eq", tab.div, u)
+
+    @staticmethod
+    def accumulate_hdiv(tab: LeafTab, factor, wvec):
+        """sum_q wvec(E,nqp,dim) . phi_i * factor -> (E, nloc)."""
+        return jnp.einsum("qbd,eqd->eb", tab.vec_phi, wvec * factor[..., None])
+
+    @staticmethod
+    def accumulate_div(tab: LeafTab, factor, w):
+        """sum_q w(E,nqp) * div phi_i * factor -> (E, nloc)."""
+        return jnp.einsum("qb,eq->eb", tab.div, w * factor)
 
 
 class CombinedOperator(LocalOperator):

@@ -48,6 +48,9 @@ class FunctionSpace:
         self.name = name
         if fem.continuity == "C0":
             self.element_dofs, self._dof_grid_dims = self._build_c0_map()
+        elif fem.continuity == "Hdiv":
+            self.element_dofs = self._build_hdiv_map()
+            self._dof_grid_dims = None
         else:
             nb = fem.nbasis
             self.element_dofs = (
@@ -78,6 +81,41 @@ class FunctionSpace:
         g = k * emi[:, None, :] + lmi[None, :, :]  # (E, nloc, dim)
         g = np.mod(g, np.array(dims))
         return g @ strides, dims
+
+    def _build_hdiv_map(self):
+        """Face-based DOF map for H(div) elements (RT/BDM on cubes):
+        global faces per axis with lexicographic numbering; element local
+        dofs ordered (axis, side[, moment]) to match the element basis."""
+        mesh, fem = self.mesh, self.fem
+        dim = mesh.dim
+        m = getattr(fem, "ndofs_per_face", 1)
+        emi = mesh.element_multi_index()                  # (E, dim)
+        offsets = []
+        off = 0
+        face_dims = []
+        for a in range(dim):
+            fd = tuple(
+                (c if mesh.periodic[d] and d == a else
+                 (c + 1 if d == a else c))
+                for d, c in enumerate(mesh.cells)
+            )
+            face_dims.append(fd)
+            offsets.append(off)
+            off += int(np.prod(fd)) * m
+        cols = []
+        for a in range(dim):
+            fd = face_dims[a]
+            strides = np.ones(dim, dtype=np.int64)
+            for d in range(1, dim):
+                strides[d] = strides[d - 1] * fd[d - 1]
+            for s in (0, 1):
+                g = emi.copy()
+                g[:, a] += s
+                g[:, a] %= fd[a]  # periodic wrap (fd[a]==cells[a] then)
+                fidx = g @ strides
+                for k in range(m):
+                    cols.append(offsets[a] + fidx * m + k)
+        return np.stack(cols, axis=1)
 
     # -- pytree-ish protocol used by the assembler ---------------------------
     @property
