@@ -6,3 +6,7 @@ from dune_pdelab_tpu.solvers.stationary import (
     StationaryLinearProblemSolver, StationaryResult,
 )
 from dune_pdelab_tpu.solvers.newton import NewtonMethod, NewtonResult, NewtonError
+from dune_pdelab_tpu.solvers.utilities import (
+    SolverStatistics, GridOperatorPreconditioner, check_lop_interface,
+    dense_jacobian,
+)

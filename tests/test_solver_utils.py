@@ -1,0 +1,120 @@
+"""Solver utilities + GenEO tests (testgeneo / solverstatistics analogs,
+reference: dune/pdelab/test/testgeneo.cc, matrixfree/solverstatistics.hh)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import (
+    StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+)
+from dune_pdelab_tpu.ops import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM, LocalOperator, L2,
+)
+from dune_pdelab_tpu.linalg import cg
+from dune_pdelab_tpu.linalg.geneo import geneo_preconditioner_for
+from dune_pdelab_tpu.solvers import (
+    SolverStatistics, GridOperatorPreconditioner, check_lop_interface,
+    SEQ_CG_Jacobi, StationaryLinearProblemSolver,
+)
+
+
+class HighContrast(ConvectionDiffusionProblem):
+    """Layered high-contrast diffusion — the GenEO target problem."""
+
+    def A(self, x):
+        stripe = jnp.floor(x[..., 1] * 8) % 2
+        return jnp.where(stripe == 0, 1.0, 1e4)
+
+    def f(self, x):
+        return jnp.ones(x.shape[:-1])
+
+
+def _setup(n=16):
+    p = HighContrast()
+    mesh = StructuredMesh([0, 0], [1, 1], (n, n))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    return V, go
+
+
+def test_geneo_two_level_scalability():
+    """THE two-level Schwarz claim: 1-level iteration counts grow with the
+    number of subdomains, the GenEO coarse space keeps them bounded
+    (testgeneo oracle, reference: dune/pdelab/test/testgeneo.cc)."""
+    import jax
+    import scipy.linalg  # noqa: F401
+    from dune_pdelab_tpu.linalg.geneo import GenEOPreconditioner
+
+    N = 512
+    A = (np.diag(2 * np.ones(N)) - np.diag(np.ones(N - 1), 1)
+         - np.diag(np.ones(N - 1), -1))
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(N))
+    Aop = lambda z: jnp.asarray(A) @ z
+    one_level, two_level = [], []
+    for nsub in (8, 32):
+        M2 = GenEOPreconditioner(A, nsub=nsub, overlap=8, nev=2)
+
+        def M1(r, M=M2):
+            return M._apply_impl(r) - M.Z @ jax.scipy.linalg.lu_solve(
+                M._coarse, (M.Z.T @ r)[:, None])[:, 0]
+
+        _, s1 = cg(Aop, b, M=M1, tol=1e-8, maxiter=5000)
+        x2, s2 = cg(Aop, b, M=M2, tol=1e-8, maxiter=5000)
+        assert bool(s2.converged)
+        one_level.append(int(s1.iterations))
+        two_level.append(int(s2.iterations))
+        res = np.linalg.norm(A @ np.asarray(x2) - np.asarray(b))
+        assert res < 1e-6
+    assert one_level[1] > 1.5 * one_level[0], one_level     # 1-level degrades
+    assert two_level[1] < 1.4 * two_level[0], two_level     # 2-level bounded
+    assert two_level[1] < one_level[1], (one_level, two_level)
+
+
+def test_geneo_on_high_contrast_pde():
+    """GenEO runs on an assembled high-contrast PDE operator and converges
+    to the same solution as Jacobi-CG."""
+    V, go = _setup(16)   # ndofs 17^2 = 289
+    M = geneo_preconditioner_for(go, nsub=17, nev=2)
+    b = go.residual(V.zero())
+    A = lambda z: go.jacobian_apply(V.zero(), z)
+    d = go.jacobian_diagonal(V.zero())
+    x1, s_jac = cg(A, b, M=lambda r: r / d, tol=1e-8, maxiter=3000)
+    x2, s_gen = cg(A, b, M=M, tol=1e-8, maxiter=3000)
+    assert bool(s_gen.converged)
+    assert float(jnp.linalg.norm(x1 - x2)) < 1e-5 * float(jnp.linalg.norm(x1))
+
+
+def test_solver_statistics():
+    V, go = _setup(8)
+    ls = SEQ_CG_Jacobi()
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-10, verbose=0)
+    slp.apply(V.zero())
+    slp.apply(V.zero())
+    st = SolverStatistics().observe(ls)
+    assert st.size == 2 and st.min() > 0 and st.avg() >= st.min()
+
+
+def test_gridoperator_preconditioner():
+    """Precondition the high-contrast operator with a constant-coefficient
+    Laplacian grid operator."""
+    V, go = _setup(8)
+    go_prec = GridOperator(V, ConvectionDiffusionFEM(
+        ConvectionDiffusionProblem()), constraints=go.cg)
+    from dune_pdelab_tpu.solvers import LinearSolverBackend
+    ls = LinearSolverBackend(solver="cg",
+                             precond=GridOperatorPreconditioner(go_prec))
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-8, verbose=0)
+    x = slp.apply(V.zero())
+    assert slp.result.converged
+
+
+def test_check_lop_interface():
+    assert check_lop_interface(L2()) == []
+
+    class Bad(LocalOperator):
+        pass
+
+    with pytest.raises(TypeError):
+        check_lop_interface(Bad())
+    assert check_lop_interface(Bad(), raise_on_error=False)
