@@ -143,15 +143,27 @@ class GridOperator:
                 raise NotImplementedError("H(div) on mapped meshes")
             h = self.mesh.h
             detJ = float(np.prod(h))
-            vecs = fem.tabulate_vector(pts_ref) * (h / detJ)  # Piola
+            vecs = fem.tabulate_vector(pts_ref) * (h / detJ)  # contravariant
             divs = fem.tabulate_div(pts_ref) / detJ
-            return (None, None, None, fem.degree, vecs, divs)
+            return (None, None, None, fem.degree, vecs, divs, None)
+        if fem.continuity == "Hcurl":
+            if not self.mesh.uniform:
+                raise NotImplementedError("H(curl) on mapped meshes")
+            h = self.mesh.h
+            detJ = float(np.prod(h))
+            vecs = fem.tabulate_vector(pts_ref) / h           # covariant
+            curls = fem.tabulate_curl(pts_ref)
+            if curls.ndim == 2:                               # 2D scalar curl
+                curls = curls / detJ
+            else:                                             # 3D vector curl
+                curls = curls * (h / detJ)
+            return (None, None, None, fem.degree, vecs, None, curls)
         vals, grads = fem.tabulate(pts_ref)
         if geo is not None:
             gphys = geo.transform_grad(grads)
         else:
             gphys = (grads / self.mesh.h)[None]
-        return (vals, gphys, grads, fem.degree, None, None)
+        return (vals, gphys, grads, fem.degree, None, None, None)
 
     def _tab_at(self, pts_ref, geo: FaceGeometry):
         """Per-leaf raw tabs at embedded face points (uniform geometry)."""
@@ -226,6 +238,7 @@ class GridOperator:
             v, gphys, gref, deg = t[0], t[1], t[2], t[3]
             vec = t[4] if len(t) > 4 else None
             dv = t[5] if len(t) > 5 else None
+            cl = t[6] if len(t) > 6 else None
             out.append(LeafTab(
                 phi=None if v is None else jnp.asarray(v, dtype),
                 grad=None if gphys is None else jnp.asarray(gphys, dtype),
@@ -233,6 +246,7 @@ class GridOperator:
                 degree=deg,
                 vec_phi=None if vec is None else jnp.asarray(vec, dtype),
                 div=None if dv is None else jnp.asarray(dv, dtype),
+                curl=None if cl is None else jnp.asarray(cl, dtype),
             ))
         return tuple(out)
 

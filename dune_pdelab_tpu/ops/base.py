@@ -46,8 +46,9 @@ class LeafTab:
     grad: Any         # (Eb, nqp, nb, dim) physical gradients
     ref_grad: Any     # (nqp, nb, dim) reference gradients
     degree: int = 1   # polynomial degree of the leaf element
-    vec_phi: Any = None   # H(div) elements: (nqp, nb, dim) Piola-mapped values
+    vec_phi: Any = None   # H(div)/H(curl) elements: (nqp, nb, dim) mapped values
     div: Any = None       # H(div) elements: (nqp, nb) physical divergence
+    curl: Any = None      # H(curl) elements: (nqp, nb) 2D / (nqp, nb, 3) 3D
 
 
 @dataclass(frozen=True)
@@ -200,6 +201,21 @@ class LocalOperator:
     def accumulate_div(tab: LeafTab, factor, w):
         """sum_q w(E,nqp) * div phi_i * factor -> (E, nloc)."""
         return jnp.einsum("qb,eq->eb", tab.div, w * factor)
+
+    # -- H(curl) edge-element helpers ---------------------------------------
+    @staticmethod
+    def curl_at_qp(tab: LeafTab, u):
+        """curl of an H(curl) field: (E,nqp) in 2D, (E,nqp,3) in 3D."""
+        if tab.curl.ndim == 2:
+            return jnp.einsum("qb,eb->eq", tab.curl, u)
+        return jnp.einsum("qbd,eb->eqd", tab.curl, u)
+
+    @staticmethod
+    def accumulate_curl(tab: LeafTab, factor, w):
+        """Dual of curl_at_qp: weight w (E,nqp[,3]) -> (E, nloc)."""
+        if tab.curl.ndim == 2:
+            return jnp.einsum("qb,eq->eb", tab.curl, w * factor)
+        return jnp.einsum("qbd,eqd->eb", tab.curl, w * factor[..., None])
 
 
 class CombinedOperator(LocalOperator):

@@ -51,6 +51,9 @@ class FunctionSpace:
         elif fem.continuity == "Hdiv":
             self.element_dofs = self._build_hdiv_map()
             self._dof_grid_dims = None
+        elif fem.continuity == "Hcurl":
+            self.element_dofs = self._build_hcurl_map()
+            self._dof_grid_dims = None
         else:
             nb = fem.nbasis
             self.element_dofs = (
@@ -116,6 +119,60 @@ class FunctionSpace:
                 for k in range(m):
                     cols.append(offsets[a] + fidx * m + k)
         return np.stack(cols, axis=1)
+
+    def _build_hcurl_map(self):
+        """Edge-based DOF map for Nedelec elements: per edge direction a, a
+        lexicographic edge lattice (cells[a] x (cells[d]+1 transverse));
+        element-local ordering matches N0Cube.edges."""
+        mesh, fem = self.mesh, self.fem
+        dim = mesh.dim
+        emi = mesh.element_multi_index()
+        offsets, edge_dims = [], []
+        off = 0
+        for a in range(dim):
+            ed = tuple(
+                (c if d == a or mesh.periodic[d] else c + 1)
+                for d, c in enumerate(mesh.cells)
+            )
+            edge_dims.append(ed)
+            offsets.append(off)
+            off += int(np.prod(ed))
+        cols = []
+        for (a, tdims, bits) in fem.edges:
+            ed = edge_dims[a]
+            strides = np.ones(dim, dtype=np.int64)
+            for d in range(1, dim):
+                strides[d] = strides[d - 1] * ed[d - 1]
+            g = emi.copy()
+            for td, bit in zip(tdims, bits):
+                g[:, td] = (g[:, td] + bit) % ed[td]
+            cols.append(offsets[a] + g @ strides)
+        self._hcurl_edge_dims = edge_dims
+        self._hcurl_offsets = offsets
+        return np.stack(cols, axis=1)
+
+    def boundary_edge_mask(self) -> np.ndarray:
+        """(ndofs,) bool: edges lying in a non-periodic domain boundary face
+        (for essential n x u = 0 constraints on H(curl) spaces)."""
+        assert self.fem.continuity == "Hcurl"
+        mesh = self.mesh
+        dim = mesh.dim
+        mask = np.zeros(self.ndofs, dtype=bool)
+        for a in range(dim):
+            ed = self._hcurl_edge_dims[a]
+            n_a = int(np.prod(ed))
+            g = np.arange(n_a, dtype=np.int64)
+            mi = np.empty((n_a, dim), dtype=np.int64)
+            for d in range(dim):
+                mi[:, d] = g % ed[d]
+                g = g // ed[d]
+            onb = np.zeros(n_a, dtype=bool)
+            for d in range(dim):
+                if d == a or mesh.periodic[d]:
+                    continue
+                onb |= (mi[:, d] == 0) | (mi[:, d] == ed[d] - 1)
+            mask[self._hcurl_offsets[a]:self._hcurl_offsets[a] + n_a] = onb
+        return mask
 
     # -- pytree-ish protocol used by the assembler ---------------------------
     @property
