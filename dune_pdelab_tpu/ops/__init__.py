@@ -13,3 +13,12 @@ from dune_pdelab_tpu.ops.stokes import (
 from dune_pdelab_tpu.ops.elasticity import (
     LinearElasticity, LinearElasticityParameters,
 )
+from dune_pdelab_tpu.ops.acoustics import LinearAcousticsDG
+from dune_pdelab_tpu.ops.maxwell import MaxwellDG
+from dune_pdelab_tpu.ops.ccfv import ConvectionDiffusionCCFV
+from dune_pdelab_tpu.ops.diffusionmixed import DiffusionMixed
+from dune_pdelab_tpu.ops.electrodynamic import CurlCurl, CurlCurlParameters
+from dune_pdelab_tpu.ops.twophase import (
+    TwoPhaseParameters, TwoPhaseCCFV, TwoPhaseStorage,
+)
+from dune_pdelab_tpu.ops.dgnavierstokes import DGNavierStokes

@@ -1,0 +1,180 @@
+"""Interior-penalty DG discretization of (Navier-)Stokes.
+
+TPU-native analog of the reference kernel (reference:
+dune/pdelab/localoperator/dgnavierstokes.hh:32, 1372 LoC, +
+dginteriorpenaltyparameter.hh): equal-order or mixed DG velocity/pressure
+on PowerSpace(DG^dim) x DG with
+
+  * componentwise SIPG/NIPG viscous terms (penalty sigma mu k(k+1)/h),
+  * pressure-velocity coupling fluxes  +∫ {p} n·[v],  -∫ {q} n·[u]
+    (symmetric saddle-point convention),
+  * Dirichlet velocity via Nitsche terms with data g,
+  * optional convection with upwinding on the face-mean velocity.
+
+Space layout: (v_0, ..., v_{d-1}, p) leaf tuple like the Taylor-Hood kernel.
+"""
+from __future__ import annotations
+
+import copy
+
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.ops.base import (
+    LocalOperator, VolumeContext, FaceContext, SkeletonContext,
+)
+from dune_pdelab_tpu.ops.stokes import NavierStokesParameters
+
+
+class DGNavierStokes(LocalOperator):
+    quadrature_factor = 2
+    quadrature_add = 1
+
+    def __init__(self, params: NavierStokesParameters, penalty: float = 4.0,
+                 theta: float = 1.0, navier: bool | None = None):
+        self.params = params
+        self.penalty = penalty
+        self.theta = theta
+        self.navier = navier if navier is not None else (params.rho != 0.0)
+        self.is_linear = not self.navier
+
+    def set_time(self, t):
+        new = copy.copy(self)
+        new.params = self.params.with_time(t)
+        return new
+
+    # -- volume (same terms as Taylor-Hood) ----------------------------------
+    def alpha_volume(self, ctx: VolumeContext, u):
+        dim = ctx.x.shape[-1]
+        tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
+        mu, rho = self.params.mu, self.params.rho
+        vq = [self.value_at_qp(tab_v, u[c]) for c in range(dim)]
+        gv = [self.gradient_at_qp(tab_v, u[c]) for c in range(dim)]
+        pq = self.value_at_qp(tab_p, u[dim])
+        r = []
+        for c in range(dim):
+            wvec = mu * gv[c]
+            wvec = wvec.at[..., c].add(-pq)
+            rc = self.accumulate_gradient(tab_v, ctx.factor, wvec)
+            if self.navier:
+                conv = sum(vq[d] * gv[c][..., d] for d in range(dim))
+                rc = rc + self.accumulate_value(tab_v, ctx.factor, rho * conv)
+            r.append(rc)
+        div = sum(gv[c][..., c] for c in range(dim))
+        r.append(-self.accumulate_value(tab_p, ctx.factor, div))
+        return tuple(r)
+
+    def lambda_volume(self, ctx: VolumeContext):
+        dim = ctx.x.shape[-1]
+        tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
+        f = jnp.broadcast_to(
+            jnp.asarray(self.params.f(ctx.x), ctx.factor.dtype), ctx.x.shape)
+        r = [self.accumulate_value(tab_v, ctx.factor, -f[..., c])
+             for c in range(dim)]
+        r.append(jnp.zeros((ctx.x.shape[0], tab_p.phi.shape[1]),
+                           ctx.factor.dtype))
+        return tuple(r)
+
+    def _gamma(self, tab_v, h, dim):
+        k = max(1, tab_v.degree)
+        return self.penalty * self.params.mu * k * (k + dim - 1.0) / h
+
+    # -- interior faces ------------------------------------------------------
+    def alpha_skeleton(self, ctx: SkeletonContext, u_in, u_out):
+        dim = ctx.x.shape[-1]
+        tin_v, tin_p = ctx.tabs_in[0], ctx.tabs_in[dim]
+        tout_v, tout_p = ctx.tabs_out[0], ctx.tabs_out[dim]
+        n = ctx.normal
+        mu, rho = self.params.mu, self.params.rho
+        h = ctx.h_inside[:, None]
+        gamma = self._gamma(tin_v, h, dim)
+        acc_i = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
+        acc_o = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
+        ndphi_i = jnp.einsum("qbd,d->qb", tin_v.grad[0], n)
+        ndphi_o = jnp.einsum("qbd,d->qb", tout_v.grad[0], n)
+
+        vi = [self.value_at_qp(tin_v, u_in[c]) for c in range(dim)]
+        vo = [self.value_at_qp(tout_v, u_out[c]) for c in range(dim)]
+        gi = [self.gradient_at_qp(tin_v, u_in[c]) for c in range(dim)]
+        go_ = [self.gradient_at_qp(tout_v, u_out[c]) for c in range(dim)]
+        pi = self.value_at_qp(tin_p, u_in[dim])
+        po = self.value_at_qp(tout_p, u_out[dim])
+        pavg = 0.5 * (pi + po)
+        un_jump = sum((vi[c] - vo[c]) * n[c] for c in range(dim))
+        r_in, r_out = [], []
+        if self.navier:
+            # upwind convection by the mean normal velocity
+            ubar_n = 0.5 * sum((vi[c] + vo[c]) * n[c] for c in range(dim))
+        for c in range(dim):
+            jump = vi[c] - vo[c]
+            avg_ngrad = 0.5 * (jnp.einsum("fqd,d->fq", gi[c], n)
+                               + jnp.einsum("fqd,d->fq", go_[c], n))
+            w = -mu * avg_ngrad + gamma * jump + pavg * n[c]
+            if self.navier:
+                upw = jnp.where(ubar_n >= 0, vi[c], vo[c])
+                w = w + rho * ubar_n * upw
+            ri = acc_i(tin_v, w)
+            ro = acc_o(tout_v, -w)
+            # symmetry term -theta mu {grad v}.n [u]
+            wsym = -self.theta * mu * 0.5 * jump * ctx.factor
+            ri = ri + jnp.einsum("qb,eq->eb", ndphi_i, wsym)
+            ro = ro + jnp.einsum("qb,eq->eb", ndphi_o, wsym)
+            r_in.append(ri)
+            r_out.append(ro)
+        # continuity coupling: b(u, q) face part +∫ {q} [u·n] (the pairing
+        # that makes the formulation adjoint-consistent -> optimal L2 order)
+        wq = 0.5 * un_jump
+        r_in.append(acc_i(tin_p, wq))
+        r_out.append(acc_o(tout_p, wq))
+        return tuple(r_in), tuple(r_out)
+
+    # -- Dirichlet boundary (velocity data g) --------------------------------
+    def alpha_boundary(self, ctx: FaceContext, u):
+        dim = ctx.x.shape[-1]
+        tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
+        n = ctx.normal
+        mu, rho = self.params.mu, self.params.rho
+        h = ctx.h_inside[:, None]
+        gamma = self._gamma(tab_v, h, dim)
+        acc = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
+        ndphi = jnp.einsum("qbd,d->qb", tab_v.grad[0], n)
+        vi = [self.value_at_qp(tab_v, u[c]) for c in range(dim)]
+        gi = [self.gradient_at_qp(tab_v, u[c]) for c in range(dim)]
+        pq = self.value_at_qp(tab_p, u[dim])
+        un = sum(vi[c] * n[c] for c in range(dim))
+        r = []
+        for c in range(dim):
+            ngrad = jnp.einsum("fqd,d->fq", gi[c], n)
+            w = -mu * ngrad + gamma * vi[c] + pq * n[c]
+            if self.navier:
+                w = w + rho * jnp.where(un >= 0, un * vi[c], 0.0)
+            rc = acc(tab_v, w)
+            rc = rc + jnp.einsum("qb,eq->eb", ndphi,
+                                 -self.theta * mu * vi[c] * ctx.factor)
+            r.append(rc)
+        r.append(acc(tab_p, un))
+        return tuple(r)
+
+    def lambda_boundary(self, ctx: FaceContext):
+        dim = ctx.x.shape[-1]
+        tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
+        n = ctx.normal
+        mu, rho = self.params.mu, self.params.rho
+        h = ctx.h_inside[:, None]
+        gamma = self._gamma(tab_v, h, dim)
+        acc = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
+        ndphi = jnp.einsum("qbd,d->qb", tab_v.grad[0], n)
+        g = jnp.broadcast_to(
+            jnp.asarray(self.params.g(ctx.x), ctx.factor.dtype), ctx.x.shape)
+        gn = sum(g[..., c] * n[c] for c in range(dim))
+        r = []
+        for c in range(dim):
+            w = -gamma * g[..., c]
+            if self.navier:
+                un_in = gn  # inflow data
+                w = w + rho * jnp.where(un_in < 0, un_in * g[..., c], 0.0)
+            rc = acc(tab_v, w)
+            rc = rc + jnp.einsum("qb,eq->eb", ndphi,
+                                 self.theta * mu * g[..., c] * ctx.factor)
+            r.append(rc)
+        r.append(acc(tab_p, -gn))
+        return tuple(r)
