@@ -33,7 +33,7 @@ def main():
     )
     from dune_pdelab_tpu.linalg import cg
 
-    n = int(os.environ.get("BENCH_CELLS", "192"))
+    n = int(os.environ.get("BENCH_CELLS", "255"))  # cells = 2^k - 1 -> lane-aligned 2^k DOF planes
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "819"))
     dtype = jnp.float32

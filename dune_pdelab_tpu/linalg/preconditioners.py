@@ -106,6 +106,53 @@ def power_iteration(A, diag, n, iters=25, seed=0, dtype=jnp.float32):
     return lam
 
 
+def colored_block_gauss_seidel(A, element_dofs, blocks, colors, sweeps=1,
+                               omega=1.0):
+    """Multiplicative (Gauss-Seidel) element-block sweeps in color order.
+
+    TPU-native analog of the block-SOR wrapper (reference:
+    dune/pdelab/localoperator/blocksorpreconditioner.hh:38) combined with
+    the race-free patch coloring of the reference's shared-memory assembly
+    (reference: dune/pdelab/common/partition/halo/colored.hh:31): elements
+    of one color share no DOFs, so each color's block solves are one batched
+    LU solve + conflict-free scatter; colors are visited sequentially, which
+    restores the Gauss-Seidel coupling that plain block Jacobi lacks.
+
+    A: operator closure; element_dofs (E, nloc) int32; blocks (E, nloc,
+    nloc); colors: list of int32 element-index arrays (disjoint DOF sets
+    within each color).
+    """
+    lu, piv = jax.scipy.linalg.lu_factor(blocks)
+    color_dofs = [element_dofs[c] for c in colors]
+    color_lu = [(lu[c], piv[c]) for c in colors]
+
+    def apply(r):
+        z = jnp.zeros_like(r)
+        for _ in range(sweeps):
+            for dofs, (lc, pc) in zip(color_dofs, color_lu):
+                r_cur = r - A(z)
+                r_loc = r_cur[dofs]
+                d_loc = jax.scipy.linalg.lu_solve((lc, pc), r_loc[..., None])[..., 0]
+                z = z.at[dofs].add(omega * d_loc)
+        return z
+
+    return apply
+
+
+def checkerboard_colors(mesh):
+    """2^dim parity-tuple element coloring of a structured mesh: elements of
+    one color have pairwise disjoint DOF closures (colored.hh analog)."""
+    import numpy as np
+
+    mi = mesh.element_multi_index()
+    par = (mi % 2).astype(np.int64)
+    code = np.zeros(len(mi), dtype=np.int64)
+    for d in range(mesh.dim):
+        code += par[:, d] << d
+    return [jnp.asarray(np.nonzero(code == c)[0], jnp.int32)
+            for c in range(2**mesh.dim)]
+
+
 def ssor_like(A, diag, omega=1.0, sweeps=2):
     """Symmetric-Jacobi smoothing stand-in for SeqSSOR: damped Jacobi
     iterations applied symmetrically. Sequential SOR does not map to TPU;

@@ -90,6 +90,15 @@ class LinearSolverBackend:
             lmax = preconditioners.power_iteration(op, diag, go.space.ndofs,
                                                    dtype=diag.dtype)
             setup = {"diag": diag, "lmax": lmax}
+        elif p == "block_gs":
+            blocks = (go.element_diagonal_blocks(x_lin, time)
+                      if hasattr(go, "element_diagonal_blocks")
+                      else go.element_jacobians(x_lin, time))
+            dofs = jnp.asarray(go.elem_gdofs_cat, jnp.int32)
+            lu, piv = jax.scipy.linalg.lu_factor(blocks)
+            colors = preconditioners.checkerboard_colors(go.mesh)
+            setup = {"lu": lu, "piv": piv, "dofs": dofs, "diag": diag,
+                     "colors": tuple(colors)}
         else:
             raise ValueError(f"unknown preconditioner {self.precond!r}")
         self._setup_cache[key] = setup
@@ -114,6 +123,20 @@ class LinearSolverBackend:
         if p == "chebyshev":
             return preconditioners.chebyshev(
                 A, setup["diag"], setup["lmax"], degree=self.cheby_degree)
+        if p == "block_gs":
+            def apply(r):
+                z = jnp.zeros_like(r)
+                for cidx in setup["colors"]:
+                    r_cur = r - A(z)
+                    dofs = setup["dofs"][cidx]
+                    lc = setup["lu"][cidx]
+                    pc = setup["piv"][cidx]
+                    r_loc = r_cur[dofs]
+                    d_loc = jax.scipy.linalg.lu_solve(
+                        (lc, pc), r_loc[..., None])[..., 0]
+                    z = z.at[dofs].add(d_loc)
+                return z
+            return apply
         raise ValueError(f"unknown preconditioner {self.precond!r}")
 
     # -- jitted solve construction ------------------------------------------

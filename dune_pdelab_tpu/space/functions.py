@@ -71,3 +71,49 @@ def integrate_grid_function(space, x, quad_order=None):
     """∫ u_h dx (functionutilities.hh integrateGridFunction analog)."""
     _, u, _, factor = evaluate_at_quadrature(space, x, quad_order)
     return jnp.sum(factor * u)
+
+
+class DiscreteGridFunction:
+    """Evaluable view of (space, dof vector) — DiscreteGridFunction analog
+    (reference: dune/pdelab/gridfunctionspace/gridfunctionspaceutilities.hh:54)
+    with the arithmetic combinators of the reference's function/ directory
+    (productgridfunctionadapter, difference, scaled, ...)."""
+
+    def __init__(self, space, x):
+        self.space = space
+        self.x = x
+
+    def __call__(self, pts):
+        from dune_pdelab_tpu.adaptivity.adaptivity import _evaluate_on
+        return _evaluate_on(self.space, self.x, pts)
+
+    # -- combinators return plain point-callables ---------------------------
+    def __add__(self, other):
+        return _combine(self, other, lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return _combine(self, other, lambda a, b: a - b)
+
+    def __mul__(self, other):
+        return _combine(self, other, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def squared(self):
+        return _combine(self, self, lambda a, b: a * b)
+
+    def l2_norm(self, quad_order=None):
+        return l2_norm(self.space, self.x, quad_order)
+
+    def integrate(self, quad_order=None):
+        return integrate_grid_function(self.space, self.x, quad_order)
+
+
+def _combine(f, g, op):
+    fe = f if callable(f) else (lambda p, v=f: np.full(len(p), v))
+    ge = g if callable(g) else (lambda p, v=g: np.full(len(p), v))
+
+    def h(pts):
+        return op(np.asarray(fe(pts)), np.asarray(ge(pts)))
+
+    return h

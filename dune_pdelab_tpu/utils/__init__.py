@@ -5,3 +5,4 @@ from dune_pdelab_tpu.utils.config import ParameterTree
 from dune_pdelab_tpu.utils.checkpoint import (
     save_checkpoint, load_checkpoint, CheckpointManager,
 )
+from dune_pdelab_tpu.utils.logging import Logger

@@ -110,3 +110,19 @@ def test_dg_upwind_convection():
     assert slp.result.converged
     # solution bounded (no oscillation blowup)
     assert float(jnp.max(jnp.abs(x))) < 10.0
+
+
+def test_dg_colored_block_gs_beats_block_jacobi():
+    """Colored multiplicative block sweeps beat additive block Jacobi
+    (blocksorpreconditioner.hh + colored.hh analog)."""
+    from dune_pdelab_tpu.solvers import LinearSolverBackend
+    p = SinCos()
+    _, _, slp_bj = _solve_dg(p, 16, 2, solver=LinearSolverBackend(
+        solver="bicgstab", precond="block_jacobi"))
+    _, _, slp_gs = _solve_dg(p, 16, 2, solver=LinearSolverBackend(
+        solver="bicgstab", precond="block_gs"))
+    assert slp_gs.result.converged
+    assert (slp_gs.result.linear_solver_iterations
+            < slp_bj.result.linear_solver_iterations), (
+        slp_bj.result.linear_solver_iterations,
+        slp_gs.result.linear_solver_iterations)
