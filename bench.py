@@ -57,6 +57,13 @@ def main():
     # to the general jvp-based matrix-free apply
     from dune_pdelab_tpu.assembly.stencil import compile_stencil
     st = compile_stencil(go)
+    if st is not None and os.environ.get("BENCH_NO_PALLAS") != "1":
+        from dune_pdelab_tpu.assembly.stencil_pallas_tile import (
+            try_pallas_tiled_stencil,
+        )
+        tiled = try_pallas_tiled_stencil(st)
+        if tiled is not None:
+            st = tiled
     operator = st if st is not None else (lambda p: go.jacobian_apply(x0, p))
 
     @jax.jit

@@ -158,3 +158,65 @@ def make_leaf_dof_map(leaf, element_dofs: np.ndarray, offset=None):
             return SlicedDofMap(int(offset), fem.degree, mesh.cells,
                                 mesh.periodic, fem._mi)
     return IndexDofMap(element_dofs)
+
+
+class IndexFaceTransfer:
+    """General face-group transfer via element index arrays."""
+
+    def __init__(self, leaf_dofs: np.ndarray):
+        self.dofs = jnp.asarray(leaf_dofs, jnp.int32)
+
+    def gather(self, x):
+        return x[self.dofs]
+
+    def scatter_add(self, r, r_loc):
+        return r.at[self.dofs].add(r_loc.astype(r.dtype))
+
+
+class SlabFaceTransfer:
+    """Structured-mesh face-group transfer for DG (reshape) leaves.
+
+    For faces normal to `axis`, the inside/outside element sets are slabs of
+    the element grid, so gathering the face coefficients is a reshape + slice
+    of the leaf's contiguous DOF block (and scatter-add is a slice-add) —
+    the face analog of ReshapeDofMap; no index arrays in the hot path.
+    """
+
+    def __init__(self, offset: int, cells, nbasis: int, axis: int,
+                 lo: int, hi_off: int, periodic_roll: int = 0):
+        self.offset = int(offset)
+        self.cells = tuple(cells)
+        self.nb = nbasis
+        self.E = int(np.prod(cells))
+        self.dim = len(cells)
+        self.gax = self.dim - 1 - axis      # C-order axis in the grid view
+        self.lo = lo
+        self.hi_off = hi_off                # slice end = cells[axis] + hi_off
+        self.roll = periodic_roll
+        self.grid_shape = tuple(reversed(self.cells)) + (nbasis,)
+
+    def _slc(self):
+        idx = [slice(None)] * (self.dim + 1)
+        idx[self.gax] = slice(self.lo, self.cells[self.dim - 1 - self.gax]
+                              + self.hi_off)
+        return tuple(idx)
+
+    def gather(self, x):
+        g = x[self.offset:self.offset + self.E * self.nb].reshape(
+            self.grid_shape)
+        if self.roll:
+            g = jnp.roll(g, -self.roll, axis=self.gax)
+        return g[self._slc()].reshape(-1, self.nb)
+
+    def scatter_add(self, r, r_loc):
+        g = jnp.zeros(self.grid_shape, r.dtype)
+        sl = self._slc()
+        shape = tuple(
+            (s.stop - s.start) if isinstance(s, slice) and s.start is not None
+            else dim for s, dim in zip(sl, self.grid_shape)
+        )
+        g = g.at[sl].add(r_loc.reshape(shape).astype(r.dtype))
+        if self.roll:
+            g = jnp.roll(g, self.roll, axis=self.gax)
+        return r.at[self.offset:self.offset + self.E * self.nb].add(
+            g.reshape(-1))

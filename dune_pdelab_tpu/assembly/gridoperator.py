@@ -45,7 +45,7 @@ class _FaceGroupData:
     """Static per-group data for boundary or skeleton assembly."""
     __slots__ = ("axis", "side", "elements", "outside", "leaf_dofs_in",
                  "leaf_dofs_out", "tabs_in", "tabs_out", "factor", "normal",
-                 "h_in", "h_out", "x", "weights")
+                 "h_in", "h_out", "x", "weights", "tr_in", "tr_out")
 
 
 class GridOperator:
@@ -62,10 +62,12 @@ class GridOperator:
       element_jacobians(x)   -> dense per-element blocks (block precondit.)
     """
 
-    def __init__(self, space, lop, constraints=None, quad_order=None):
+    def __init__(self, space, lop, constraints=None, quad_order=None,
+                 face_transfer: str = "auto"):
         self.space = space
         self.lop = lop
         self.cg = constraints
+        self._face_transfer_mode = face_transfer  # 'auto' | 'index' (debug)
         self.leaves = space.leaves
         mesh = self.leaves[0].mesh
         for lf in self.leaves:
@@ -133,6 +135,22 @@ class GridOperator:
     def _face_rule(self):
         return quadrature_rule("cube", self.mesh.dim - 1, self.qorder)
 
+    def _face_transfers(self, leaf_dof_arrays, axis, lo, hi_off, roll=0):
+        """Per-leaf face transfer strategies: slab slices for DG (reshape)
+        leaves (assembly/dofmaps.py SlabFaceTransfer), index arrays else."""
+        from dune_pdelab_tpu.assembly.dofmaps import (
+            IndexFaceTransfer, ReshapeDofMap, SlabFaceTransfer,
+        )
+        out = []
+        for dm, arr in zip(self.dof_maps, leaf_dof_arrays):
+            if (isinstance(dm, ReshapeDofMap)
+                    and self._face_transfer_mode == "auto"):
+                out.append(SlabFaceTransfer(dm.offset, self.mesh.cells,
+                                            dm.nb, axis, lo, hi_off, roll))
+            else:
+                out.append(IndexFaceTransfer(arr))
+        return out
+
     def _make_tab(self, lf, pts_ref, geo=None):
         """Raw tab tuple for a leaf at reference points; handles scalar and
         H(div) (Piola-mapped) elements. Uniform-mesh geometry only for the
@@ -184,6 +202,12 @@ class GridOperator:
                 g.outside = None
                 g.leaf_dofs_in = [m[g.elements] for m in leaf_maps]
                 g.leaf_dofs_out = None
+                c_a = mesh.cells[a]
+                g.tr_in = self._face_transfers(
+                    g.leaf_dofs_in, a,
+                    lo=(0 if s == 0 else c_a - 1),
+                    hi_off=(1 - c_a if s == 0 else 0))
+                g.tr_out = None
                 fgeo = FaceGeometry(mesh, a, qpf, wf)
                 pts = embed_face_points(qpf, a, s, mesh.dim)
                 g.tabs_in = self._tab_at(pts, fgeo)
@@ -213,6 +237,13 @@ class GridOperator:
             g.outside = itf["outside"][sel]
             g.leaf_dofs_in = [m[g.elements] for m in leaf_maps]
             g.leaf_dofs_out = [m[g.outside] for m in leaf_maps]
+            if mesh.periodic[a]:
+                g.tr_in = self._face_transfers(g.leaf_dofs_in, a, 0, 0)
+                g.tr_out = self._face_transfers(g.leaf_dofs_out, a, 0, 0,
+                                                roll=1)
+            else:
+                g.tr_in = self._face_transfers(g.leaf_dofs_in, a, 0, -1)
+                g.tr_out = self._face_transfers(g.leaf_dofs_out, a, 1, 0)
             fgeo = FaceGeometry(mesh, a, qpf, wf)
             pts_in = embed_face_points(qpf, a, 1, mesh.dim)   # upper face of inside
             pts_out = embed_face_points(qpf, a, 0, mesh.dim)  # lower face of outside
@@ -331,21 +362,26 @@ class GridOperator:
             r = self._scatter_vol(r, lop.alpha_volume(vctx, self._uarg(u_leaf)))
         if self.has["lambda_volume"]:
             r = self._scatter_vol(r, lop.lambda_volume(vctx))
+        def face_scatter(r, transfers, r_loc):
+            for tr, rl in zip(transfers, self._pack(r_loc)):
+                r = tr.scatter_add(r, rl)
+            return r
+
         for g in self.bnd_groups:
             fctx = self._face_ctx(g, time, dtype)
-            uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
+            uf = [tr.gather(x) for tr in g.tr_in]
             if self.has["alpha_boundary"]:
-                r = self._scatter_add(r, g.leaf_dofs_in,
-                                      lop.alpha_boundary(fctx, self._uarg(uf)))
+                r = face_scatter(r, g.tr_in,
+                                 lop.alpha_boundary(fctx, self._uarg(uf)))
             if self.has["lambda_boundary"]:
-                r = self._scatter_add(r, g.leaf_dofs_in, lop.lambda_boundary(fctx))
+                r = face_scatter(r, g.tr_in, lop.lambda_boundary(fctx))
         for g in self.skel_groups:
             sctx = self._skel_ctx(g, time, dtype)
-            ui = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
-            uo = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_out]
+            ui = [tr.gather(x) for tr in g.tr_in]
+            uo = [tr.gather(x) for tr in g.tr_out]
             r_in, r_out = lop.alpha_skeleton(sctx, self._uarg(ui), self._uarg(uo))
-            r = self._scatter_add(r, g.leaf_dofs_in, r_in)
-            r = self._scatter_add(r, g.leaf_dofs_out, r_out)
+            r = face_scatter(r, g.tr_in, r_in)
+            r = face_scatter(r, g.tr_out, r_out)
         return r
 
     def _residual_with_mask(self, x, time):

@@ -116,3 +116,67 @@ def solve_stationary(space, lop, bctype=None, dirichlet=None,
                                                verbose=verbose)
     x = solver.apply(x0)
     return StationaryResultBundle(space, x, solver, cg_)
+
+
+def solve_instationary(space, lop_spatial, lop_temporal=None, bctype=None,
+                       x0=None, t0=0.0, dt=None, tend=None, scheme=None,
+                       linear_solver=None, pdesolver=None, boundary_values=None,
+                       ptree: ParameterTree | None = None, verbose=0,
+                       vtk_basename=None, checkpoint_dir=None, **solver_kw):
+    """One-call instationary driver, optionally INI-configured.
+
+    INI keys (ParameterTree):
+      [time] scheme=, dt=, tend=, t0=
+      [linear_solver] type=, preconditioner=, maxiter=, ...
+      [newton] reduction=, max_iterations=, ...
+    Writes a VTK time series / checkpoints when basenames are given.
+    Returns (t_final, x_final, method).
+    """
+    from dune_pdelab_tpu.instationary import OneStepMethod, SCHEMES
+    from dune_pdelab_tpu.ops.l2 import L2
+
+    cfg = ptree or ParameterTree()
+    tcfg = cfg.sub("time")
+    scheme = scheme or tcfg.get("scheme", "implicit_euler")
+    if isinstance(scheme, str):
+        scheme = SCHEMES[scheme]()
+    dt = dt if dt is not None else tcfg.get("dt", 0.1, float)
+    tend = tend if tend is not None else tcfg.get("tend", 1.0, float)
+    t0 = tcfg.get("t0", t0, float)
+
+    cg_ = make_constraints(bctype, space) if bctype is not None else None
+    go0 = GridOperator(space, lop_spatial, constraints=cg_)
+    go1 = GridOperator(space, lop_temporal or L2(), constraints=cg_)
+    ls = linear_solver or linear_solver_from_config(cfg.sub("linear_solver"))
+    pdesolver = pdesolver or ("newton" if not getattr(
+        lop_spatial, "is_linear", False) else "linear")
+    newton_kw = dict(solver_kw)
+    if "newton.reduction" in cfg:
+        newton_kw.setdefault("reduction", cfg.get("newton.reduction", 1e-8,
+                                                  float))
+        newton_kw.setdefault("max_iterations",
+                             cfg.get("newton.max_iterations", 20, int))
+    osm = OneStepMethod(scheme, go0, go1, ls, pdesolver=pdesolver,
+                        boundary_values=boundary_values, verbose=verbose,
+                        **newton_kw)
+    x = x0 if x0 is not None else space.zero()
+    seq = None
+    if vtk_basename:
+        from dune_pdelab_tpu.io.vtk import VTKSequenceWriter
+        seq = VTKSequenceWriter(vtk_basename)
+        seq.write(space.mesh, t0, [(space, x, "u")])
+    mgr = None
+    if checkpoint_dir:
+        from dune_pdelab_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(checkpoint_dir)
+    t, step = t0, 0
+    while t < tend - 1e-12:
+        h = min(dt, tend - t)
+        x = osm.apply(t, h, x)
+        t += h
+        step += 1
+        if seq is not None:
+            seq.write(space.mesh, t, [(space, x, "u")])
+        if mgr is not None:
+            mgr.save(step, {"x": x}, {"t": t})
+    return t, x, osm

@@ -60,6 +60,19 @@ class LinearSolverBackend:
                 st = compile_stencil(go, x_lin, time)
             except Exception:
                 st = None
+            if st is not None:
+                # prefer the Pallas tiled lowering (single HBM pass per
+                # apply) on real TPU devices when the grid qualifies
+                import jax
+                if jax.default_backend() not in ("cpu",):
+                    try:
+                        from dune_pdelab_tpu.assembly.stencil_pallas_tile \
+                            import try_pallas_tiled_stencil
+                        tiled = try_pallas_tiled_stencil(st)
+                        if tiled is not None:
+                            st = tiled
+                    except Exception:
+                        pass
             self._setup_cache[key] = st
         return self._setup_cache[key]
 

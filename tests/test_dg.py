@@ -126,3 +126,29 @@ def test_dg_colored_block_gs_beats_block_jacobi():
             < slp_bj.result.linear_solver_iterations), (
         slp_bj.result.linear_solver_iterations,
         slp_gs.result.linear_solver_iterations)
+
+
+def test_face_slab_transfer_matches_index_path():
+    """Slab-slice DG face transfers == index-array transfers, including the
+    periodic roll case."""
+    import jax.numpy as jnp
+    from dune_pdelab_tpu.ops.convectiondiffusion import ConvectionDiffusionProblem
+
+    class P(ConvectionDiffusionProblem):
+        def b(self, x):
+            return jnp.broadcast_to(jnp.array([1.0, -0.5]), x.shape)
+
+        def f(self, x):
+            return jnp.sin(3 * x[..., 0]) + x[..., 1]
+
+    for periodic in ((False, False), (True, True), (True, False)):
+        mesh = StructuredMesh([0, 0], [1, 1], (5, 4), periodic=periodic)
+        V = FunctionSpace(mesh, QkDGFEM(1, 2))
+        go_fast = GridOperator(V, ConvectionDiffusionDG(P()))
+        go_idx = GridOperator(V, ConvectionDiffusionDG(P()),
+                              face_transfer="index")
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(V.ndofs))
+        r1 = go_fast.residual(x)
+        r2 = go_idx.residual(x)
+        assert float(jnp.linalg.norm(r1 - r2)) < 1e-12, periodic

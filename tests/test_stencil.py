@@ -64,3 +64,22 @@ def test_stencil_refuses_partial_dirichlet():
     cg_ = constraints(lambda x: np.isclose(x[:, 0], 0.0), V)
     go = GridOperator(V, ConvectionDiffusionFEM(ConstCoeff()), constraints=cg_)
     assert compile_stencil(go) is None
+
+
+def test_pallas_tiled_stencil_matches_interpret():
+    """The Pallas tiled lowering equals the XLA stencil (interpret mode)."""
+    from dune_pdelab_tpu.assembly.stencil_pallas_tile import (
+        try_pallas_tiled_stencil,
+    )
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (11, 11, 11))
+    V = FunctionSpace(mesh, QkFEM(1, 3))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(ConstCoeff()), constraints=cg_)
+    st = compile_stencil(go)
+    pal = try_pallas_tiled_stencil(st, interpret=True, row_block=24)
+    assert pal is not None
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal(V.ndofs), jnp.float32)
+    y1 = st(z).astype(jnp.float32)
+    y2 = pal(z)
+    assert float(jnp.linalg.norm(y1 - y2)) < 1e-4 * float(jnp.linalg.norm(y1))
