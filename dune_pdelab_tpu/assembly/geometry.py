@@ -76,7 +76,8 @@ class VolumeGeometry:
             self.corners = None
         else:
             corners = mesh.element_corner_coords()            # (E, C, d)
-            geo = _cached_fem("QkFEM", 1, dim)
+            geo = _cached_fem(
+                "QkFEM" if mesh.geometry_type == "cube" else "PkFEM", 1, dim)
             N, dN = geo.tabulate(qp_ref)                      # (nqp, C), (nqp, C, d)
             J = np.einsum("eci,qcj->eqij", corners, dN)       # (E, nqp, d, d)
             detJ, invT = det_inv(J)

@@ -63,7 +63,7 @@ class GridOperator:
     """
 
     def __init__(self, space, lop, constraints=None, quad_order=None,
-                 face_transfer: str = "auto"):
+                 face_transfer: str = "auto", skip_boundary: bool = False):
         self.space = space
         self.lop = lop
         self.cg = constraints
@@ -116,6 +116,19 @@ class GridOperator:
         }
         self.bnd_groups: list[_FaceGroupData] = []
         self.skel_groups: list[_FaceGroupData] = []
+        if skip_boundary:
+            # pure-Dirichlet shortcut: drop boundary kernels (the operator's
+            # Neumann/outflow terms are known to vanish)
+            self.has["alpha_boundary"] = False
+            self.has["lambda_boundary"] = False
+        needs_faces = (self.has["alpha_boundary"] or
+                       self.has["lambda_boundary"] or
+                       self.has["alpha_skeleton"])
+        if needs_faces and not hasattr(mesh, "boundary_faces"):
+            raise NotImplementedError(
+                f"{type(mesh).__name__} provides no face lists; boundary/"
+                "skeleton kernels need a structured mesh (for pure-Dirichlet "
+                "problems pass skip_boundary=True)")
         if self.has["alpha_boundary"] or self.has["lambda_boundary"]:
             self._build_boundary_groups(leaf_maps)
         if self.has["alpha_skeleton"]:

@@ -57,7 +57,7 @@ def _leaf_constraints(bctype, space: FunctionSpace) -> np.ndarray:
     mask = np.zeros(space.ndofs, dtype=bool)
     if bctype is None or space.fem.continuity != "C0":
         return mask
-    bmask = _leaf_boundary_dof_mask(space)
+    bmask = space.boundary_dof_mask()
     if bctype is True:
         return bmask
     idx = np.nonzero(bmask)[0]

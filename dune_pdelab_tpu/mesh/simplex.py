@@ -1,0 +1,117 @@
+"""Unstructured simplex meshes (triangles / tetrahedra).
+
+TPU-native analog of the unstructured-grid usage in the reference tests
+(reference: dune/pdelab/test/gridexamples.hh:26-273 — triangulated unit
+squares/cubes via UGGrid/ALUGrid): a simplex mesh here is explicit numpy
+connectivity (vertices + cells), most conveniently produced by
+triangulating a structured mesh. Geometry is affine per element; entity
+lists (edges, boundary classification) are computed once at setup for the
+Pk DOF maps.
+
+Volume assembly (alpha/lambda_volume) is fully supported; face integrals
+(skeleton/boundary kernels) on simplex meshes are not wired yet — Dirichlet
+problems with volume+source terms work end to end.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class SimplexMesh:
+    geometry_type = "simplex"
+    uniform = False
+    coords = None
+
+    def __init__(self, vertices: np.ndarray, cells: np.ndarray,
+                 boundary_vertices: np.ndarray | None = None,
+                 lower=None, upper=None):
+        self.vertices = np.asarray(vertices, np.float64)
+        self.cells = np.asarray(cells, np.int64)
+        self.dim = self.vertices.shape[1]
+        assert self.cells.shape[1] == self.dim + 1
+        self.nvertices = len(self.vertices)
+        self.nelements = len(self.cells)
+        self.ncorners = self.dim + 1
+        self.periodic = (False,) * self.dim
+        self.lower = (np.asarray(lower) if lower is not None
+                      else self.vertices.min(axis=0))
+        self.upper = (np.asarray(upper) if upper is not None
+                      else self.vertices.max(axis=0))
+        self._boundary_vertices = boundary_vertices
+        self._edges = None
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_structured(cls, smesh):
+        """Triangulate a structured quad (2D) or hex (3D) mesh."""
+        verts = smesh.vertex_coords()
+        ev = smesh.element_vertex_indices()      # corners in bit order
+        if smesh.dim == 2:
+            # quad corners (00, 10, 01, 11) -> two triangles
+            t1 = ev[:, [0, 1, 3]]
+            t2 = ev[:, [0, 3, 2]]
+            cells = np.concatenate([t1, t2], axis=0)
+        elif smesh.dim == 3:
+            # six tetrahedra per hex (Kuhn triangulation along 0-7 diagonal)
+            paths = [
+                (0, 1, 3, 7), (0, 1, 5, 7), (0, 2, 3, 7),
+                (0, 2, 6, 7), (0, 4, 5, 7), (0, 4, 6, 7),
+            ]
+            cells = np.concatenate([ev[:, list(p)] for p in paths], axis=0)
+        else:
+            raise NotImplementedError(smesh.dim)
+        vb = np.zeros(len(verts), dtype=bool)
+        for d in range(smesh.dim):
+            if not smesh.periodic[d]:
+                vb |= np.isclose(verts[:, d], smesh.lower[d])
+                vb |= np.isclose(verts[:, d], smesh.upper[d])
+        return cls(verts, cells, boundary_vertices=vb,
+                   lower=smesh.lower, upper=smesh.upper)
+
+    # -- entities ------------------------------------------------------------
+    def element_corner_coords(self) -> np.ndarray:
+        return self.vertices[self.cells]
+
+    def element_centers(self) -> np.ndarray:
+        return self.element_corner_coords().mean(axis=1)
+
+    def edges(self):
+        """(unique_edges (NE, 2) sorted vertex pairs,
+            cell_edges (E, nedges_per_cell) edge ids).
+        Local edge l = pair (a, b) of local vertices in lexicographic order."""
+        if self._edges is None:
+            d = self.dim
+            pairs = [(a, b) for a in range(d + 1) for b in range(a + 1, d + 1)]
+            raw = np.stack([
+                np.sort(self.cells[:, list(p)], axis=1) for p in pairs
+            ], axis=1)                                     # (E, np, 2)
+            flat = raw.reshape(-1, 2)
+            uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+            self._edges = (uniq, inv.reshape(self.nelements, len(pairs)))
+            self._edge_pairs = pairs
+        return self._edges
+
+    def boundary_vertex_mask(self) -> np.ndarray:
+        if self._boundary_vertices is not None:
+            return self._boundary_vertices
+        # fallback: bounding-box predicate
+        vb = np.zeros(self.nvertices, dtype=bool)
+        for d in range(self.dim):
+            vb |= np.isclose(self.vertices[:, d], self.lower[d])
+            vb |= np.isclose(self.vertices[:, d], self.upper[d])
+        return vb
+
+    def boundary_edge_mask(self) -> np.ndarray:
+        """Edges lying in a bounding-box boundary plane (box domains)."""
+        uniq, _ = self.edges()
+        va = self.vertices[uniq[:, 0]]
+        vb_ = self.vertices[uniq[:, 1]]
+        mask = np.zeros(len(uniq), dtype=bool)
+        for d in range(self.dim):
+            for val in (self.lower[d], self.upper[d]):
+                mask |= np.isclose(va[:, d], val) & np.isclose(vb_[:, d], val)
+        return mask
+
+    def __repr__(self):
+        return (f"SimplexMesh(dim={self.dim}, nelements={self.nelements}, "
+                f"nvertices={self.nvertices})")

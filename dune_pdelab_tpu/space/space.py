@@ -46,7 +46,10 @@ class FunctionSpace:
         self.mesh = mesh
         self.fem = fem
         self.name = name
-        if fem.continuity == "C0":
+        if fem.continuity == "C0" and mesh.geometry_type == "simplex":
+            self.element_dofs = self._build_simplex_c0_map()
+            self._dof_grid_dims = None
+        elif fem.continuity == "C0":
             self.element_dofs, self._dof_grid_dims = self._build_c0_map()
         elif fem.continuity == "Hdiv":
             self.element_dofs = self._build_hdiv_map()
@@ -84,6 +87,58 @@ class FunctionSpace:
         g = k * emi[:, None, :] + lmi[None, :, :]  # (E, nloc, dim)
         g = np.mod(g, np.array(dims))
         return g @ strides, dims
+
+    def _build_simplex_c0_map(self):
+        """Conforming Pk DOF map on simplex meshes (k <= 2): vertex DOFs
+        numbered by mesh vertices, edge DOFs (k = 2) by the unique-edge list.
+        The element-local ordering follows the PkFEM lattice-node order by
+        classifying each node's barycentric position (vertex / edge
+        midpoint)."""
+        mesh, fem = self.mesh, self.fem
+        k = fem.degree
+        if k > 2:
+            raise NotImplementedError(
+                "simplex C0 spaces support k <= 2 (edge-orientation handling "
+                "for k >= 3 not implemented)")
+        from dune_pdelab_tpu.fe.basis import PkFEM
+        geo_nodes = PkFEM(1, mesh.dim).nodes          # order matches corners
+        cols = []
+        if k == 2:
+            uniq_edges, cell_edges = mesh.edges()
+            pairs = mesh._edge_pairs
+        for node in fem.nodes:
+            # vertex node?
+            vmatch = np.where(np.all(np.isclose(geo_nodes, node), axis=1))[0]
+            if len(vmatch):
+                cols.append(mesh.cells[:, int(vmatch[0])])
+                continue
+            # edge midpoint (k == 2)
+            found = False
+            for a in range(mesh.dim + 1):
+                for b in range(a + 1, mesh.dim + 1):
+                    mid = 0.5 * (geo_nodes[a] + geo_nodes[b])
+                    if np.allclose(mid, node):
+                        eloc = pairs.index((a, b))
+                        cols.append(mesh.nvertices + cell_edges[:, eloc])
+                        found = True
+                        break
+                if found:
+                    break
+            if not found:
+                raise NotImplementedError(f"unclassified Pk node {node}")
+        return np.stack(cols, axis=1)
+
+    def boundary_dof_mask(self) -> np.ndarray:
+        """(ndofs,) bool mask of DOFs on the domain boundary."""
+        if self.mesh.geometry_type == "simplex":
+            mask = np.zeros(self.ndofs, dtype=bool)
+            nv = self.mesh.nvertices
+            vmask = self.mesh.boundary_vertex_mask()
+            mask[:nv] = vmask[:min(nv, self.ndofs)]
+            if self.fem.degree == 2 and self.ndofs > nv:
+                mask[nv:] = self.mesh.boundary_edge_mask()
+            return mask
+        return _leaf_boundary_dof_mask(self)
 
     def _build_hdiv_map(self):
         """Face-based DOF map for H(div) elements (RT/BDM on cubes):
@@ -209,7 +264,9 @@ class FunctionSpace:
         """Map reference points into every element: (E, npts, dim)."""
         corners = self.mesh.element_corner_coords()    # (E, C, dim)
         from dune_pdelab_tpu.fe.basis import _cached_fem
-        geo = _cached_fem("QkFEM", 1, self.mesh.dim)
+        geo = _cached_fem(
+            "QkFEM" if self.mesh.geometry_type == "cube" else "PkFEM",
+            1, self.mesh.dim)
         vals, _ = geo.tabulate(ref_points)             # (npts, C)
         return np.einsum("pc,ecd->epd", vals, corners)
 
