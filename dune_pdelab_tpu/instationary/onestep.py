@@ -257,7 +257,7 @@ class ExplicitOneStepMethod:
 
     def __init__(self, scheme: TimeSteppingScheme, go0, go1,
                  time_controller: TimeControllerInterface | None = None,
-                 verbose: int = 0):
+                 limiter=None, verbose: int = 0):
         if scheme.implicit:
             raise ValueError("ExplicitOneStepMethod needs an explicit scheme")
         for r in range(scheme.stages):
@@ -268,6 +268,8 @@ class ExplicitOneStepMethod:
         self.go1 = go1
         self.cg = go0.cg
         self.controller = time_controller or TimeControllerInterface()
+        self.limiter = limiter    # stage post-processing hook
+                                  # (explicitonestep.hh:704 Limiter analog)
         self.verbose = verbose
         self._mass_solve = None
 
@@ -314,6 +316,8 @@ class ExplicitOneStepMethod:
             if self.cg is not None:
                 # keep Dirichlet values fixed at the previous solution
                 x = jnp.where(self.cg.mask, stage_x[r - 1], x)
+            if self.limiter is not None:
+                x = self.limiter(x)
             stage_x[r] = x
         return x, dt
 
