@@ -1,3 +1,4 @@
 from dune_pdelab_tpu.parallel.sharded import ShardedGridOperator
 from dune_pdelab_tpu.parallel.partition import pad_partition
 from dune_pdelab_tpu.parallel.dofsharded import DofShardedStencil, sharded_cg_solve
+from dune_pdelab_tpu.parallel.comm import allreduce, exchange_planes, masked_dot

@@ -116,3 +116,38 @@ def test_dof_sharded_stencil_matches():
     x_sh, s_sh = sharded_cg_solve(sh, b, diag=d, tol=1e-12)
     assert int(s_seq.iterations) == int(s_sh.iterations)
     assert float(jnp.linalg.norm(x_seq - jax.device_get(x_sh))) < 1e-9
+
+
+def test_comm_policies():
+    """Data-handle policy analogs: add/copy/min/max plane exchange + masked
+    dots (genericdatahandle.hh policies, parallelhelper.hh disjointDot)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from dune_pdelab_tpu.parallel.comm import (
+        allreduce, exchange_planes, masked_dot,
+    )
+    nd = 4
+    mesh = Mesh(np.array(jax.devices()[:nd]), ("s",))
+    data = jnp.arange(nd * 4.0).reshape(nd * 4)
+
+    def kernel(loc):
+        loc2 = loc.reshape(-1, 1)
+        prev, nxt = exchange_planes(loc2, "s", nd, policy="copy")
+        total = allreduce(jnp.sum(loc), "s", "sum")
+        mx = allreduce(jnp.max(loc), "s", "max")
+        return (prev.reshape(-1), nxt.reshape(-1),
+                jnp.full_like(loc, total), jnp.full_like(loc, mx))
+
+    prev, nxt, tot, mx = jax.shard_map(
+        kernel, mesh=mesh, in_specs=P("s"),
+        out_specs=(P("s"), P("s"), P("s"), P("s")))(data)
+    prev = np.asarray(prev).reshape(nd, 1)
+    nxt = np.asarray(nxt).reshape(nd, 1)
+    assert prev[0, 0] == 0.0            # chain end: zeros
+    assert prev[1, 0] == 3.0            # last entry of shard 0
+    assert nxt[0, 0] == 4.0             # first entry of shard 1
+    assert np.allclose(np.asarray(tot), np.arange(16.0).sum())
+    assert np.allclose(np.asarray(mx), 15.0)
+    # masked dot: mask half the entries
+    mask = jnp.arange(16) % 2 == 0
+    md = masked_dot(data, data, mask)
+    assert np.isclose(float(md), float((data[::2] ** 2).sum()))
