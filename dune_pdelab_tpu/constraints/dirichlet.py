@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from dune_pdelab_tpu.space.space import (
-    CompositeSpace, FunctionSpace, _leaf_boundary_dof_mask,
+    CompositeSpace, FunctionSpace,
 )
 
 

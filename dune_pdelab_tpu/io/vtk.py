@@ -83,7 +83,10 @@ class VTKWriter:
         self.point_data[name] = arr
         return self
 
-    def write(self, path: str) -> str:
+    def write(self, path: str, binary: bool | None = None) -> str:
+        """Write the .vtu file; `binary=None` auto-selects the native binary
+        writer (io/vtk_binary.py, C++ appended-raw payloads) when available,
+        falling back to ascii XML."""
         mesh = self.mesh
         if not path.endswith(".vtu"):
             path = path + ".vtu"
@@ -92,6 +95,18 @@ class VTKWriter:
             pts = np.concatenate(
                 [pts, np.zeros((len(pts), 3 - mesh.dim))], axis=1)
         conn = mesh.element_vertex_indices()[:, _vtk_corner_order(mesh.dim)]
+        use_binary = (binary is True
+                      or (binary is None and mesh.nvertices > 65536))
+        if use_binary:
+            try:
+                from dune_pdelab_tpu.io import vtk_binary
+                if vtk_binary.available():
+                    return vtk_binary.write_vtu_binary(
+                        path, pts, conn, _VTK_CELL.get(mesh.dim, 3),
+                        self.point_data, self.cell_data)
+            except Exception:
+                if binary is True:
+                    raise
         ncorn = conn.shape[1]
         offsets = np.arange(1, mesh.nelements + 1) * ncorn
         types = np.full(mesh.nelements, _VTK_CELL.get(mesh.dim, 3))

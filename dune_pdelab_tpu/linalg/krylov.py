@@ -21,7 +21,6 @@ dune/pdelab/backend/istl/parallelhelper.hh:179).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

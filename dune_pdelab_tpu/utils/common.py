@@ -21,7 +21,10 @@ def default_float():
     float64 when jax_enable_x64 is on (the fp64 parity mode used by tests),
     float32 otherwise (the TPU performance mode).
     """
-    return jnp.zeros((), jnp.float64).dtype  # folds to float32 without x64
+    import jax
+
+    return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 \
+        else jnp.dtype(jnp.float32)
 
 
 def cdiv(a: int, b: int) -> int:
