@@ -180,3 +180,60 @@ def solve_instationary(space, lop_spatial, lop_temporal=None, bctype=None,
         if mgr is not None:
             mgr.save(step, {"x": x}, {"t": t})
     return t, x, osm
+
+
+def adaptive_solve(problem_lop_factory, mesh0, fem, bctype=None,
+                   dirichlet=None, estimator=None, tol=1e-3, max_levels=5,
+                   linear_solver=None, reduction=1e-10, verbose=0):
+    """Estimate -> (mark) -> refine -> re-solve loop.
+
+    Analog of the reference adaptivity driver loop (reference:
+    dune/pdelab/test/testadaptivity.cc and adaptivity.hh adapt_grid usage):
+    solve on the current space, evaluate the a-posteriori estimator, stop
+    when the global eta reaches `tol`, otherwise refine (uniformly — local
+    refinement is a structural TODO, see COVERAGE.md) and transfer the
+    solution as the next initial guess.
+
+    problem_lop_factory: () -> (problem, local operator) pair per level.
+    estimator: callable(go, problem, x) -> per-element eta^2 (defaults to
+    the residual convection-diffusion estimator).
+    Returns (space, x, history list of (ndofs, eta)).
+    """
+    from dune_pdelab_tpu.adaptivity.adaptivity import (
+        residual_estimator_convectiondiffusion, adapt_uniform,
+    )
+    import jax.numpy as jnp
+
+    est = estimator or residual_estimator_convectiondiffusion
+    mesh = mesh0
+    history = []
+    x_prev = None
+    space = None
+    for level in range(max_levels):
+        problem, lop = problem_lop_factory()
+        space = FunctionSpace(mesh, fem)
+        cg_ = make_constraints(bctype, space) if bctype is not None else None
+        go = GridOperator(space, lop, constraints=cg_)
+        ls = linear_solver or linear_solver_from_config(None)
+        x0 = space.zero()
+        if x_prev is not None:
+            # transferred previous solution as initial guess
+            x0 = x_prev
+        if dirichlet is not None and cg_ is not None:
+            from dune_pdelab_tpu.constraints.dirichlet import (
+                interpolate_dirichlet,
+            )
+            x0 = interpolate_dirichlet(dirichlet, space, cg_, x0)
+        slp = StationaryLinearProblemSolver(go, ls, reduction=reduction,
+                                            verbose=max(0, verbose - 1))
+        x = slp.apply(x0)
+        eta2 = est(go, problem, x)
+        eta = float(jnp.sqrt(jnp.sum(eta2)))
+        history.append((space.ndofs, eta))
+        if verbose:
+            print(f"adaptive level {level}: ndofs={space.ndofs} eta={eta:.4e}")
+        if eta <= tol or level == max_levels - 1:
+            return space, x, history
+        space_new, x_prev = adapt_uniform(space, x)
+        mesh = space_new.mesh
+    return space, x, history

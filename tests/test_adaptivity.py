@@ -77,3 +77,25 @@ def test_adapt_uniform_transfer_exact():
     V2, x2 = adapt_uniform(V, x)
     assert V2.mesh.cells == (8, 8)
     assert float(l2_difference(V2, x2, f)) < 1e-12
+
+
+def test_adaptive_solve_loop():
+    """estimate -> refine -> re-solve loop reaches the target eta and shows
+    the expected O(h) estimator decay (testadaptivity driver analog)."""
+    from dune_pdelab_tpu.models.boilerplate import adaptive_solve
+
+    def factory():
+        p = P()
+        return p, ConvectionDiffusionFEM(p)
+
+    mesh0 = StructuredMesh([0, 0], [1, 1], (8, 8))
+    space, x, hist = adaptive_solve(
+        factory, mesh0, QkFEM(1, 2), bctype=True, tol=0.4, max_levels=4)
+    etas = [e for _, e in hist]
+    assert etas[-1] <= 0.4
+    assert len(hist) >= 2
+    # eta halves per refinement (O(h) estimator for Q1)
+    assert etas[1] < 0.65 * etas[0]
+    # final solution accurate
+    err = float(l2_difference(space, x, P().exact))
+    assert err < 5e-3
