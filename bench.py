@@ -33,7 +33,9 @@ def main():
     )
     from dune_pdelab_tpu.linalg import cg
 
-    n = int(os.environ.get("BENCH_CELLS", "255"))  # cells = 2^k - 1 -> lane-aligned 2^k DOF planes
+    # default 511 cells = 512^3 = 134M DOFs (the BASELINE.json north-star
+    # scale); cells = 2^k - 1 gives lane-aligned 2^k DOF planes
+    n = int(os.environ.get("BENCH_CELLS", "511"))
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "819"))
     dtype = jnp.float32
@@ -42,42 +44,67 @@ def main():
         def f(self, x):
             return jnp.ones(x.shape[:-1], x.dtype)
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
     V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
     prob = P()
     cg_mask = pt.constraints(prob.dirichlet_bctype(), V)
     go = pt.GridOperator(V, ConvectionDiffusionFEM(prob), constraints=cg_mask)
     N = V.ndofs
+    log(f"setup done, N={N}")
 
     x0 = jnp.zeros(N, dtype)
     b = go.residual(x0)
+    log("residual assembled")
 
     # compile the translation-invariant operator into a shift-MAC stencil
     # (assembly/stencil.py) — the structured-mesh SpMV fast path; fall back
     # to the general jvp-based matrix-free apply
     from dune_pdelab_tpu.assembly.stencil import compile_stencil
     st = compile_stencil(go)
+    log(f"stencil compiled: {st is not None}")
+
+    run = None
     if st is not None and os.environ.get("BENCH_NO_PALLAS") != "1":
-        from dune_pdelab_tpu.assembly.stencil_pallas_tile import (
-            try_pallas_tiled_stencil,
+        # fully fused CG: 2 Pallas passes/iter, in-kernel Dirichlet masks,
+        # ~8N bytes real traffic vs the 12N naive model
+        from dune_pdelab_tpu.assembly.fused_cg_pallas import (
+            make_fused_cg, qualifies,
         )
-        tiled = try_pallas_tiled_stencil(st)
-        if tiled is not None:
-            st = tiled
-    operator = st if st is not None else (lambda p: go.jacobian_apply(x0, p))
+        if qualifies(st) and os.environ.get("BENCH_NO_FUSED") != "1":
+            solve = make_fused_cg(st, maxiter=iters, tol=0.0)
 
-    @jax.jit
-    def run(b):
-        z, stats = cg(operator, b, tol=0.0, atol=1e-30, maxiter=iters)
-        return z, stats.iterations, stats.defect
+            def run(b):
+                z, stats = solve(b)
+                return z, stats.iterations, stats.defect
+        else:
+            from dune_pdelab_tpu.assembly.stencil_pallas_tile import (
+                try_pallas_tiled_stencil,
+            )
+            tiled = try_pallas_tiled_stencil(st)
+            if tiled is not None:
+                st = tiled
+    if run is None:
+        operator = st if st is not None else (
+            lambda p: go.jacobian_apply(x0, p))
 
+        @jax.jit
+        def run(b):
+            z, stats = cg(operator, b, tol=0.0, atol=1e-30, maxiter=iters)
+            return z, stats.iterations, stats.defect
+
+    # NOTE: block_until_ready does not sync through the axon relay; a
+    # scalar host transfer is the only true sync (PERFORMANCE.md).
     z, it, defect = run(b)
-    z.block_until_ready()  # warmup + compile
+    _ = float(defect)  # warmup + compile + hard sync
+    log("warmup done")
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         z, it, defect = run(b)
-        z.block_until_ready()
+        _ = float(defect)
     dt = (time.perf_counter() - t0) / reps
 
     dof_iters_per_sec = N * int(it) / dt
