@@ -154,7 +154,8 @@ def make_leaf_dof_map(leaf, element_dofs: np.ndarray, offset=None):
                 return ReshapeDofMap(int(offset), E, nb)
         elif (fem.continuity == "C0" and hasattr(fem, "_mi")
               and getattr(fem, "variant", "equidistant") == "equidistant"
-              and mesh.geometry_type == "cube"):
+              and mesh.geometry_type == "cube"
+              and hasattr(mesh, "cells")):   # not on AdaptiveMesh
             return SlicedDofMap(int(offset), fem.degree, mesh.cells,
                                 mesh.periodic, fem._mi)
     return IndexDofMap(element_dofs)

@@ -41,6 +41,33 @@ def _cat_leaf_dofs(maps):
     return np.concatenate([np.asarray(m, dtype=np.int64) for m in maps], axis=1)
 
 
+def _affine_expand(cg, rows, cols, data):
+    """Expand COO entries through hanging-node parent maps: P^T A P.
+
+    rows/cols are static numpy; data is a traced jnp vector. Each entry
+    (i, j, v) becomes {(p_r, p_c, w_r * w_c * v)} over the parents of i and
+    j (identity for non-hanging DOFs).
+    """
+    indptr, pidx, pw = cg._parent_indptr, cg._parent_idx, cg._parent_w
+
+    def expand(idx_static, other_static, src, mult):
+        cnt = (indptr[idx_static + 1] - indptr[idx_static])
+        rep = np.repeat(np.arange(len(idx_static)), cnt)
+        # positions within each parent list
+        pos = np.arange(len(rep)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        flat = indptr[idx_static][rep] + pos
+        return (pidx[flat], other_static[rep], src[rep],
+                mult[rep] * pw[flat])
+
+    src = np.arange(len(rows))
+    mult = np.ones(len(rows))
+    new_rows, cols, src, mult = expand(rows, cols, src, mult)
+    new_cols, new_rows, src, mult = expand(cols, new_rows, src, mult)
+    data = data[jnp.asarray(src, jnp.int32)] * jnp.asarray(mult, data.dtype)
+    return new_rows, new_cols, data
+
+
 class _FaceGroupData:
     """Static per-group data for boundary or skeleton assembly."""
     __slots__ = ("axis", "side", "elements", "outside", "leaf_dofs_in",
@@ -398,8 +425,14 @@ class GridOperator:
         return r
 
     def _residual_with_mask(self, x, time):
+        # hanging nodes: r = P^T R(P x) (the etadd triple product as vector
+        # ops, reference: gridoperator/common/assemblerutilities.hh:501-586)
+        if self.cg is not None and self.cg.has_affine:
+            x = self.cg.prolong(x)
         r = self.residual_unconstrained(x, time)
         if self.cg is not None:
+            if self.cg.has_affine:
+                r = self.cg.restrict_transpose(r)
             r = jnp.where(self.cg.mask, 0.0, r)
         return r
 
@@ -415,10 +448,15 @@ class GridOperator:
     def _japply_impl(self, x, z, time):
         if self.cg is not None:
             zf = jnp.where(self.cg.mask, 0.0, z)
+            if self.cg.has_affine:
+                x = self.cg.prolong(x)
+                zf = self.cg.prolong(zf)
         else:
             zf = z
         _, jz = jax.jvp(lambda y: self.residual_unconstrained(y, time), (x,), (zf,))
         if self.cg is not None:
+            if self.cg.has_affine:
+                jz = self.cg.restrict_transpose(jz)
             jz = jnp.where(self.cg.mask, z, jz)
         return jz
 
@@ -580,6 +618,8 @@ class GridOperator:
 
         n = self.space.ndofs
         datas, rows, cols = [], [], []
+        if self.cg is not None and self.cg.has_affine:
+            x = self.cg.prolong(x)
         for gr, gc, J in self._all_jacobian_blocks(x, time):
             B, ni, nj = J.shape
             r = np.broadcast_to(gr[:, :, None], (B, ni, nj)).reshape(-1)
@@ -590,6 +630,12 @@ class GridOperator:
         rows = np.concatenate(rows)
         cols = np.concatenate(cols)
         data = jnp.concatenate(datas)
+        if self.cg is not None and self.cg.has_affine:
+            # fold the hanging-node triple product P^T J P: expand every
+            # COO entry through the static per-dof parent CSR (etadd,
+            # reference: assemblerutilities.hh:501-586). Static index work
+            # in numpy; values stay traced.
+            rows, cols, data = _affine_expand(self.cg, rows, cols, data)
         if self.cg is not None:
             free = ~self.cg.mask_np
             wgt = jnp.asarray(free[rows] & free[cols], data.dtype)
@@ -606,11 +652,19 @@ class GridOperator:
 
     def _jacobian_diagonal_impl(self, x, time):
         n = self.space.ndofs
+        if self.cg is not None and self.cg.has_affine:
+            x = self.cg.prolong(x)
         d = jnp.zeros(n, x.dtype)
         for gr, gc, J in self._all_jacobian_blocks(x, time):
             diag = jnp.diagonal(J, axis1=1, axis2=2)    # (B, n)
             d = d.at[jnp.asarray(gr, jnp.int32)].add(diag)
         if self.cg is not None:
+            if self.cg.has_affine:
+                # approximate P^T J P diagonal: fold hanging-row diagonals
+                # into parents with w^2 (cross terms dropped — Jacobi
+                # preconditioning quality only, not exactness)
+                d = d.at[self.cg._acols].add(
+                    (self.cg._aw.astype(d.dtype) ** 2) * d[self.cg._arows])
             d = jnp.where(self.cg.mask, 1.0, d)
         return d
 

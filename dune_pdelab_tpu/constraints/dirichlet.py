@@ -24,7 +24,14 @@ from dune_pdelab_tpu.space.space import (
 
 
 class DirichletConstraints:
-    """Static constraint data for one flat DOF vector."""
+    """Static constraint data for one flat DOF vector.
+
+    `mask` marks ALL constrained DOFs (Dirichlet + hanging — the reference
+    model where a constraint is a possibly-empty affine row, reference:
+    dune/pdelab/constraints/common/constraintstransformation.hh:18).
+    Hanging nodes carry affine rows x[row] = sum_j w_j x[col_j]; parent
+    columns are guaranteed non-constrained (transitively resolved).
+    """
 
     def __init__(self, mask: np.ndarray,
                  affine_rows: np.ndarray | None = None,
@@ -36,10 +43,55 @@ class DirichletConstraints:
         self.affine_cols = affine_cols
         self.affine_weights = affine_weights
         self.nconstrained = int(self.mask_np.sum())
+        if self.has_affine:
+            hm = np.zeros(len(self.mask_np), dtype=bool)
+            hm[np.asarray(affine_rows)] = True
+            self.hanging_mask_np = hm
+            self.hanging_mask = jnp.asarray(hm)
+            self._arows = jnp.asarray(affine_rows, jnp.int32)
+            self._acols = jnp.asarray(affine_cols, jnp.int32)
+            self._aw = jnp.asarray(affine_weights)
+            # per-dof parent CSR (identity for non-hanging) for the
+            # assembled-Jacobian triple product (numpy, setup only)
+            n = len(self.mask_np)
+            cnt = np.bincount(np.asarray(affine_rows), minlength=n)
+            counts = np.where(cnt > 0, cnt, 1)  # hanging: #parents, else 1
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            indptr[1:] = np.cumsum(counts)
+            pidx = np.empty(indptr[-1], dtype=np.int64)
+            pw = np.ones(indptr[-1], dtype=np.float64)
+            free = cnt == 0
+            pidx[indptr[:-1][free]] = np.nonzero(free)[0]
+            seen = {}
+            for e, rrow in enumerate(np.asarray(affine_rows)):
+                k = indptr[rrow] + seen.get(rrow, 0)
+                seen[rrow] = seen.get(rrow, 0) + 1
+                pidx[k] = np.asarray(affine_cols)[e]
+                pw[k] = np.asarray(affine_weights)[e]
+            self._parent_indptr = indptr
+            self._parent_idx = pidx
+            self._parent_w = pw
 
     @property
     def has_affine(self) -> bool:
         return self.affine_rows is not None and len(self.affine_rows) > 0
+
+    # -- hanging-node operators (the etadd triple product as vector ops,
+    #    reference: gridoperator/common/assemblerutilities.hh:501-586) ----
+    def prolong(self, x):
+        """P x: overwrite hanging DOFs with their parent interpolation."""
+        if not self.has_affine:
+            return x
+        vals = jnp.zeros_like(x).at[self._arows].add(
+            self._aw.astype(x.dtype) * x[self._acols])
+        return jnp.where(self.hanging_mask, vals, x)
+
+    def restrict_transpose(self, r):
+        """P^T r: distribute hanging-row residuals to parents, zero them."""
+        if not self.has_affine:
+            return r
+        r = r.at[self._acols].add(self._aw.astype(r.dtype) * r[self._arows])
+        return jnp.where(self.hanging_mask, 0.0, r)
 
     def __repr__(self):
         return (f"DirichletConstraints(nconstrained={self.nconstrained}"
@@ -75,7 +127,24 @@ def constraints(bctype, space) -> DirichletConstraints:
     pass a tuple of per-child bctypes (or a single one applied to all).
     """
     if getattr(space, "is_leaf", False):
-        return DirichletConstraints(_leaf_constraints(bctype, space))
+        mask = _leaf_constraints(bctype, space)
+        from dune_pdelab_tpu.mesh.adaptive import AdaptiveMesh
+        if isinstance(space.mesh, AdaptiveMesh):
+            # hanging-node affine rows; Dirichlet wins on overlap (the
+            # HangingNodesDirichletConstraints composition, reference:
+            # dune/pdelab/constraints/hangingnode.hh:310)
+            rows, cols, w = space.mesh.hanging_constraints()
+            keep = ~mask[rows]
+            rows, cols, w = rows[keep], cols[keep], w[keep]
+            if len(rows):
+                mask = mask.copy()
+                mask[rows] = True
+                # parents may be Dirichlet (value prescribed) but must not
+                # themselves be hanging (transitive resolution guarantee)
+                assert not np.isin(cols, rows).any(), (
+                    "hanging parents must not be hanging")
+                return DirichletConstraints(mask, rows, cols, w)
+        return DirichletConstraints(mask)
     # composite: recurse and place child masks through the ordering
     assert isinstance(space, CompositeSpace)
     if not isinstance(bctype, (tuple, list)):

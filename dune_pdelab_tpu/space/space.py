@@ -46,7 +46,16 @@ class FunctionSpace:
         self.mesh = mesh
         self.fem = fem
         self.name = name
-        if fem.continuity == "C0" and mesh.geometry_type == "simplex":
+        from dune_pdelab_tpu.mesh.adaptive import AdaptiveMesh
+        if isinstance(mesh, AdaptiveMesh):
+            if fem.continuity != "C0" or fem.degree != 1:
+                raise NotImplementedError(
+                    "adaptive meshes support Q1 spaces (the reference's "
+                    "hanging-node constraint assemblers are likewise "
+                    "Q1/P1-only, dune/pdelab/constraints/hangingnode.hh:24)")
+            self.element_dofs = mesh.element_vertex_indices()
+            self._dof_grid_dims = None
+        elif fem.continuity == "C0" and mesh.geometry_type == "simplex":
             self.element_dofs = self._build_simplex_c0_map()
             self._dof_grid_dims = None
         elif fem.continuity == "C0":
@@ -130,6 +139,9 @@ class FunctionSpace:
 
     def boundary_dof_mask(self) -> np.ndarray:
         """(ndofs,) bool mask of DOFs on the domain boundary."""
+        from dune_pdelab_tpu.mesh.adaptive import AdaptiveMesh
+        if isinstance(self.mesh, AdaptiveMesh):
+            return self.mesh.boundary_vertex_mask()
         if self.mesh.geometry_type == "simplex":
             mask = np.zeros(self.ndofs, dtype=bool)
             nv = self.mesh.nvertices
