@@ -51,12 +51,21 @@ def main():
     V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
     prob = P()
     cg_mask = pt.constraints(prob.dirichlet_bctype(), V)
-    go = pt.GridOperator(V, ConvectionDiffusionFEM(prob), constraints=cg_mask)
+    # pure-Dirichlet problem: skip boundary kernels (their terms vanish)
+    go = pt.GridOperator(V, ConvectionDiffusionFEM(prob), constraints=cg_mask,
+                         skip_boundary=True)
     N = V.ndofs
     log(f"setup done, N={N}")
 
     x0 = jnp.zeros(N, dtype)
-    b = go.residual(x0)
+    if N > 40_000_000:
+        # slab-chunked RHS assembly: the batched volume intermediates
+        # ((E, nqp, dim) arrays) exceed HBM in one sweep at 100M+ DOFs
+        from dune_pdelab_tpu.assembly.slabbed import residual_slabbed
+        b = residual_slabbed(V, ConvectionDiffusionFEM(prob), cg_mask, x0,
+                             nslabs=16)
+    else:
+        b = go.residual(x0)
     log("residual assembled")
 
     # compile the translation-invariant operator into a shift-MAC stencil

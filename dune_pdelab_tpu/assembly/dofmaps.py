@@ -135,10 +135,13 @@ class SlicedDofMap:
         return r.at[self.offset:self.offset + self.n].add(rg.reshape(-1))
 
 
-def make_leaf_dof_map(leaf, element_dofs: np.ndarray, offset=None):
+def make_leaf_dof_map(leaf, element_dofs: np.ndarray | None, offset=None):
     """Choose the fastest transfer strategy for a leaf space.
 
-    `element_dofs` is the (E, nloc) GLOBAL map (offsets applied).
+    `element_dofs` is the (E, nloc) GLOBAL map (offsets applied), or None
+    for a standalone leaf at offset 0 — then the fast strategies are
+    derived from the layout alone and the index array is only built (from
+    `leaf.element_dofs`, lazily) when no fast path applies.
     `offset` is the leaf's contiguous global offset when the leaf occupies
     [offset, offset + leaf.ndofs) contiguously, else None.
     """
@@ -148,6 +151,10 @@ def make_leaf_dof_map(leaf, element_dofs: np.ndarray, offset=None):
     nb = fem.nbasis
     if offset is not None:
         if fem.continuity == "DG":
+            if element_dofs is None:
+                # standalone DG leaf: the layout IS element-major by
+                # construction (space.py generic branch)
+                return ReshapeDofMap(int(offset), E, nb)
             expected = offset + np.arange(E, dtype=np.int64)[:, None] * nb \
                 + np.arange(nb, dtype=np.int64)[None, :]
             if np.array_equal(np.asarray(element_dofs, np.int64), expected):
@@ -158,7 +165,8 @@ def make_leaf_dof_map(leaf, element_dofs: np.ndarray, offset=None):
               and hasattr(mesh, "cells")):   # not on AdaptiveMesh
             return SlicedDofMap(int(offset), fem.degree, mesh.cells,
                                 mesh.periodic, fem._mi)
-    return IndexDofMap(element_dofs)
+    return IndexDofMap(leaf.element_dofs if element_dofs is None
+                       else element_dofs)
 
 
 class IndexFaceTransfer:

@@ -70,11 +70,14 @@ class VolumeGeometry:
             self.jac_inv_T = np.diag(1.0 / h)[None, None]     # (1, 1, d, d)
             self.factor = (weights * detJ)[None, :]           # (1, nqp)
             self.cell_volume = np.array([detJ])               # (1,)
-            # x computed from origins: (E, dim) + qp*h
-            self.origins = mesh.lower + mesh.element_multi_index() * h
+            # x computed from origins: (E, dim) + qp*h — built lazily (at
+            # 100M+ elements the array costs GBs and the slabbed/stencil
+            # fast paths never evaluate element positions)
+            self._origins = None
             self.qp_phys_offset = qp_ref * h                  # (nqp, dim)
             self.corners = None
         else:
+            self._origins = None
             corners = mesh.element_corner_coords()            # (E, C, d)
             geo = _cached_fem(
                 "QkFEM" if mesh.geometry_type == "cube" else "PkFEM", 1, dim)
@@ -88,6 +91,14 @@ class VolumeGeometry:
             self.corners = corners
             self._N = N
             self.qp_phys = np.einsum("qc,ecd->eqd", N, corners)
+
+    @property
+    def origins(self):
+        """(E, dim) element origins (uniform meshes; lazy), else None."""
+        if self._origins is None and self.mesh.uniform:
+            self._origins = (self.mesh.lower
+                             + self.mesh.element_multi_index() * self.mesh.h)
+        return self._origins
 
     def transform_grad(self, ref_grad: np.ndarray) -> np.ndarray:
         """Reference (nqp, nb, d) -> physical gradients (Eb, nqp, nb, d)."""

@@ -103,26 +103,30 @@ class GridOperator:
         self.mesh = mesh
         self.nleaves = len(self.leaves)
 
-        # local->global maps, one per leaf, plus the concatenated local layout
-        if space.is_leaf:
-            leaf_maps = [space.element_dofs]
-        else:
-            leaf_maps = space.leaf_element_dofs()
-        self.leaf_dofs = [jnp.asarray(m, jnp.int32) for m in leaf_maps]
-        # pick per-leaf transfer strategies (strided-slice / reshape fast
-        # paths on structured meshes; see assembly/dofmaps.py)
+        # local->global maps, one per leaf, plus the concatenated local
+        # layout. Index ARRAYS are built lazily — the structured fast paths
+        # (SlicedDofMap/ReshapeDofMap + compiled stencils) never touch
+        # them, and at 100M+ DOFs they cost tens of GB (host + device).
         from dune_pdelab_tpu.assembly.dofmaps import make_leaf_dof_map
-        self.dof_maps = []
-        for lf, m in zip(self.leaves, leaf_maps):
-            m64 = np.asarray(m, np.int64)
-            off = int(m64.flat[0]) - int(np.asarray(lf.element_dofs, np.int64).flat[0])
-            contiguous = np.array_equal(
-                m64, off + np.asarray(lf.element_dofs, np.int64))
-            self.dof_maps.append(
-                make_leaf_dof_map(lf, m64, offset=off if contiguous else None))
+        self._leaf_maps_cache = None
+        if space.is_leaf:
+            # one leaf at offset 0: transfer strategy needs no index array
+            self.dof_maps = [make_leaf_dof_map(space, None, offset=0)]
+        else:
+            leaf_maps = self._leaf_maps()
+            self.dof_maps = []
+            for lf, m in zip(self.leaves, leaf_maps):
+                m64 = np.asarray(m, np.int64)
+                off = int(m64.flat[0]) - int(
+                    np.asarray(lf.element_dofs, np.int64).flat[0])
+                contiguous = np.array_equal(
+                    m64, off + np.asarray(lf.element_dofs, np.int64))
+                self.dof_maps.append(
+                    make_leaf_dof_map(lf, m64, offset=off if contiguous else None))
         self.local_sizes = tuple(lf.fem.nbasis for lf in self.leaves)
         self.nlocal = sum(self.local_sizes)
-        self.elem_gdofs_cat = _cat_leaf_dofs(leaf_maps)  # (E, nlocal) numpy
+        self._leaf_dofs_cache = None
+        self._gdofs_cat_cache = None
 
         degree = max(lf.fem.degree for lf in self.leaves)
         self.qorder = quad_order if quad_order is not None else lop.quad_order(degree)
@@ -157,9 +161,9 @@ class GridOperator:
                 "skeleton kernels need a structured mesh (for pure-Dirichlet "
                 "problems pass skip_boundary=True)")
         if self.has["alpha_boundary"] or self.has["lambda_boundary"]:
-            self._build_boundary_groups(leaf_maps)
+            self._build_boundary_groups(self._leaf_maps())
         if self.has["alpha_skeleton"]:
-            self._build_skeleton_groups(leaf_maps)
+            self._build_skeleton_groups(self._leaf_maps())
 
         # persistent jitted entry points (trace once per shape/dtype; the
         # FastDG lesson — gather/trace overhead dominates — applied to jit)
@@ -168,6 +172,37 @@ class GridOperator:
         self._ejac_jit = jax.jit(self._element_jacobians_impl)
         self._ediag_jit = jax.jit(self._element_diagonal_blocks_impl)
         self._jdiag_jit = jax.jit(self._jacobian_diagonal_impl)
+
+    # ------------------------------------------------------------------
+    # lazy index-array members
+    # ------------------------------------------------------------------
+    def _leaf_maps(self):
+        """Per-leaf (E, nloc) global numpy DOF maps (built on first use)."""
+        if self._leaf_maps_cache is None:
+            if self.space.is_leaf:
+                self._leaf_maps_cache = [self.space.element_dofs]
+            else:
+                self._leaf_maps_cache = self.space.leaf_element_dofs()
+        return self._leaf_maps_cache
+
+    @property
+    def leaf_dofs(self):
+        """Per-leaf int32 DOF maps (built on first use).
+
+        Numpy, not jnp: first access may happen inside a jit trace, where
+        creating device arrays would capture tracers in the cache.
+        """
+        if self._leaf_dofs_cache is None:
+            self._leaf_dofs_cache = [np.asarray(m, np.int32)
+                                     for m in self._leaf_maps()]
+        return self._leaf_dofs_cache
+
+    @property
+    def elem_gdofs_cat(self):
+        """(E, nlocal) concatenated numpy DOF map (built on first use)."""
+        if self._gdofs_cat_cache is None:
+            self._gdofs_cat_cache = _cat_leaf_dofs(self._leaf_maps())
+        return self._gdofs_cat_cache
 
     # ------------------------------------------------------------------
     # setup of face groups

@@ -119,6 +119,35 @@ def compile_stencil(go, x_lin=None, time=0.0, check=True):
     dims = space._dof_grid_dims
     if any(c < 6 for c in mesh.cells):
         return None  # too small to host interior probes (+ shifted check)
+
+    # huge meshes: probe on a small PROXY mesh with the same spacing h —
+    # translation invariance makes the weights identical, and probing the
+    # real operator (jvp of the full residual) would not fit in HBM at
+    # 100M+ DOFs. Only valid at the default linearization point and when
+    # no boundary kernels are enabled (they could touch interior rows).
+    if (mesh.nelements > 200_000 and x_lin is None
+            and not go.has.get("alpha_boundary", False)
+            and not go.has.get("lambda_boundary", False)
+            and not go.has.get("alpha_skeleton", False)):
+        from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+        from dune_pdelab_tpu.constraints.dirichlet import (
+            constraints as make_constraints,
+        )
+        from dune_pdelab_tpu.space.space import FunctionSpace
+        pc = tuple(max(8, 4 * k + 4) for _ in range(dim))
+        mesh_p = type(mesh)(mesh.lower,
+                            mesh.lower + np.array(pc) * mesh.h, pc)
+        V_p = FunctionSpace(mesh_p, fem)
+        go_p = GridOperator(V_p, go.lop,
+                            constraints=make_constraints(True, V_p),
+                            quad_order=go.qorder, skip_boundary=True)
+        st_p = compile_stencil(go_p, None, time, check)
+        if st_p is None:
+            return None
+        mask = go.cg.mask if go.cg is not None else None
+        return StencilOperator(dims, k, st_p.weights, st_p.offsets, mask,
+                               st_p.interior_classes)
+
     if x_lin is None:
         x_lin = jnp.zeros(space.ndofs)
 

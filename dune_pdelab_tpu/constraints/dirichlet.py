@@ -113,7 +113,8 @@ def _leaf_constraints(bctype, space: FunctionSpace) -> np.ndarray:
     if bctype is True:
         return bmask
     idx = np.nonzero(bmask)[0]
-    coords = space.dof_coords()[idx]
+    coords = (space.dof_coords_at(idx) if hasattr(space, "dof_coords_at")
+              else space.dof_coords()[idx])
     isd = np.asarray(bctype(coords), dtype=bool)
     mask[idx[isd]] = True
     return mask

@@ -213,12 +213,37 @@ class OneStepMethod:
         self.result.steps += 1
         return x
 
-    def solve(self, t0: float, dt: float, tend: float, x0):
-        """March from t0 to tend; returns (t_final, x_final)."""
+    def solve(self, t0: float, dt: float, tend: float, x0,
+              max_step_retries: int = 0):
+        """March from t0 to tend; returns (t_final, x_final).
+
+        max_step_retries > 0 enables failed-step handling (reference:
+        implicitonestep.hh:210-233 books the failed step's cost and
+        rethrows; here the step is additionally retried with dt/2, up to
+        max_step_retries halvings, before re-raising): a solver failure
+        increments result.failed_steps, its Newton/linear iteration cost
+        stays booked, and the step restarts from the pre-step state.
+        """
+        from dune_pdelab_tpu.solvers.newton import NewtonError
+
         t, x = t0, x0
         while t < tend - 1e-12:
             step = min(dt, tend - t)
-            x = self.apply(t, step, x)
+            retries = 0
+            while True:
+                try:
+                    x_new = self.apply(t, step, x)
+                    break
+                except NewtonError:
+                    self.result.failed_steps += 1
+                    retries += 1
+                    if retries > max_step_retries:
+                        raise
+                    step *= 0.5
+                    if self.verbose:
+                        print(f"  step failed at t={t:.6g}; retrying with "
+                              f"dt={step:.6g}")
+            x = x_new
             t += step
         return t, x
 

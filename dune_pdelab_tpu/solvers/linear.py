@@ -77,12 +77,13 @@ class LinearSolverBackend:
         return self._setup_cache[key]
 
     # -- preconditioner setup: arrays only, computed per linearization ------
-    def _precond_setup(self, go, x_lin, time):
+    def _precond_setup(self, go, x_lin, time, reuse=False):
         p = self.precond
         if callable(p) or p in (None, "none", "richardson"):
             return {}
         key = id(go)
-        if getattr(go.lop, "is_linear", False) and key in self._setup_cache:
+        if key in self._setup_cache and (
+                reuse or getattr(go.lop, "is_linear", False)):
             return self._setup_cache[key]
         setup = {}
         diag = go.jacobian_diagonal(x_lin, time)
@@ -177,8 +178,14 @@ class LinearSolverBackend:
         return jax.jit(fn)
 
     # -- public API ----------------------------------------------------------
-    def solve(self, go, x_lin, b, reduction, time=0.0, x0=None):
-        """Solve J(x_lin) z = b to relative `reduction`; returns (z, stats)."""
+    def solve(self, go, x_lin, b, reduction, time=0.0, x0=None, reuse=False):
+        """Solve J(x_lin) z = b to relative `reduction`; returns (z, stats).
+
+        reuse=True: keep the previously assembled Jacobian/preconditioner
+        data (the NewtonMethod reassemble_threshold contract, reference:
+        dune/pdelab/solver/newton.hh:98-120); x_lin must then be the
+        linearization point of that earlier assembly.
+        """
         if x0 is None:
             x0 = jnp.zeros_like(b)
         if callable(self.precond):
@@ -195,10 +202,11 @@ class LinearSolverBackend:
             if key not in self._solve_cache:
                 self._solve_cache[key] = self._build_solve(go, assembled="mat")
             mkey = (id(go), "matval")
-            if not getattr(go.lop, "is_linear", False) or mkey not in self._setup_cache:
+            if mkey not in self._setup_cache or not (
+                    reuse or getattr(go.lop, "is_linear", False)):
                 self._setup_cache[mkey] = go.jacobian(x_lin, time)
             mat = self._setup_cache[mkey]
-            setup = self._precond_setup(go, x_lin, time)
+            setup = self._precond_setup(go, x_lin, time, reuse)
             z, stats = self._solve_cache[key](mat, b, setup, reduction, x0)
         elif (self.use_stencil and getattr(go.lop, "is_linear", False)
               and self._stencil_for(go, x_lin, time) is not None):
@@ -206,13 +214,13 @@ class LinearSolverBackend:
             key = (id(go), "st", b.dtype, b.shape)
             if key not in self._solve_cache:
                 self._solve_cache[key] = self._build_solve(st, assembled="stencil")
-            setup = self._precond_setup(go, x_lin, time)
+            setup = self._precond_setup(go, x_lin, time, reuse)
             z, stats = self._solve_cache[key](b, setup, reduction, x0)
         else:
             key = (id(go), "mf", b.dtype, b.shape)
             if key not in self._solve_cache:
                 self._solve_cache[key] = self._build_solve(go, assembled=False)
-            setup = self._precond_setup(go, x_lin, time)
+            setup = self._precond_setup(go, x_lin, time, reuse)
             z, stats = self._solve_cache[key](x_lin, b, setup, reduction,
                                               time, x0)
         self.stats_history.append(stats)

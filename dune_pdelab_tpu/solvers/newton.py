@@ -33,6 +33,7 @@ class NewtonResult:
     """Statistics struct (NewtonMethod::Result analog)."""
     iterations: int = 0
     linear_solver_iterations: int = 0
+    assemblies: int = 0           # Jacobian (re)linearizations performed
     assembler_time: float = 0.0
     linear_solver_time: float = 0.0
     line_search_time: float = 0.0
@@ -98,6 +99,10 @@ class NewtonMethod:
         defect = self._defect(x, time)
         res.first_defect = res.defect = defect
         prev_defect = defect
+        lin_point = x
+        import inspect
+        supports_reuse = "reuse" in inspect.signature(
+            self.ls.solve).parameters
 
         for it in range(self.max_iterations):
             if defect <= self.absolute_limit or (
@@ -119,9 +124,21 @@ class NewtonMethod:
                     if it > 0 else self.min_linear_reduction
                 lin_red = max(min(lin_red, self.min_linear_reduction), 1e-14)
 
+            # defect-ratio-triggered Jacobian reuse (prepareStep analog,
+            # reference: solver/newton.hh:98-120): re-linearize only when
+            # the defect dropped by less than reassemble_threshold; else
+            # keep solving with J(lin_point) from the previous step.
+            rho = defect / prev_defect if it > 0 else 1.0
+            reassemble = it == 0 or rho > self.reassemble_threshold
+            if reassemble:
+                lin_point = x
+                res.assemblies += 1
+
             r = self.go.residual(x, time)
             timer.reset()
-            z, stats = self.ls.solve(self.go, x, r, lin_red, time)
+            kw = {"reuse": not reassemble} if supports_reuse else {}
+            z, stats = self.ls.solve(self.go, lin_point, r, lin_red, time,
+                                     **kw)
             res.linear_solver_time += timer.elapsed()
             res.linear_solver_iterations += int(stats.iterations)
             if not bool(stats.converged) and self.terminate_on_linear_failure:

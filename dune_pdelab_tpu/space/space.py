@@ -47,34 +47,61 @@ class FunctionSpace:
         self.fem = fem
         self.name = name
         from dune_pdelab_tpu.mesh.adaptive import AdaptiveMesh
+        self._element_dofs = None   # lazy for structured C0 (huge grids)
         if isinstance(mesh, AdaptiveMesh):
             if fem.continuity != "C0" or fem.degree != 1:
                 raise NotImplementedError(
                     "adaptive meshes support Q1 spaces (the reference's "
                     "hanging-node constraint assemblers are likewise "
                     "Q1/P1-only, dune/pdelab/constraints/hangingnode.hh:24)")
-            self.element_dofs = mesh.element_vertex_indices()
+            self._element_dofs = mesh.element_vertex_indices().astype(np.int32)
             self._dof_grid_dims = None
+            self.ndofs = mesh.nvertices
         elif fem.continuity == "C0" and mesh.geometry_type == "simplex":
-            self.element_dofs = self._build_simplex_c0_map()
+            self._element_dofs = self._build_simplex_c0_map().astype(np.int32)
             self._dof_grid_dims = None
+            self.ndofs = int(self._element_dofs.max()) + 1
         elif fem.continuity == "C0":
-            self.element_dofs, self._dof_grid_dims = self._build_c0_map()
+            # the DOF map is pure lattice arithmetic; defer materializing
+            # the (E, nloc) array — the structured fast paths (SlicedDofMap,
+            # compiled stencils) never touch it, and at 100M+ DOFs it costs
+            # tens of GB of host memory
+            self._dof_grid_dims = self._c0_dims()
+            self.ndofs = int(np.prod(self._dof_grid_dims))
         elif fem.continuity == "Hdiv":
-            self.element_dofs = self._build_hdiv_map()
+            self._element_dofs = self._build_hdiv_map().astype(np.int32)
             self._dof_grid_dims = None
+            self.ndofs = int(self._element_dofs.max()) + 1
         elif fem.continuity == "Hcurl":
-            self.element_dofs = self._build_hcurl_map()
+            self._element_dofs = self._build_hcurl_map().astype(np.int32)
             self._dof_grid_dims = None
+            self.ndofs = int(self._element_dofs.max()) + 1
         else:
             nb = fem.nbasis
-            self.element_dofs = (
+            self._element_dofs = (
                 np.arange(mesh.nelements, dtype=np.int64)[:, None] * nb
                 + np.arange(nb, dtype=np.int64)[None, :]
-            )
+            ).astype(np.int32)
             self._dof_grid_dims = None
-        self.ndofs = int(self.element_dofs.max()) + 1 if self.element_dofs.size else 0
-        self.element_dofs = self.element_dofs.astype(np.int32)
+            self.ndofs = mesh.nelements * nb
+
+    @property
+    def element_dofs(self) -> np.ndarray:
+        """(E, nlocal) int32 local->global DOF map (built on first use)."""
+        if self._element_dofs is None:
+            self._element_dofs = self._build_c0_map()[0].astype(np.int32)
+        return self._element_dofs
+
+    def _c0_dims(self):
+        """Per-axis DOF-grid sizes of the tensor C0 layout (periodic wrap)."""
+        mesh, fem = self.mesh, self.fem
+        if not hasattr(fem, "_mi"):
+            raise NotImplementedError(
+                f"C0 DOF layout requires a tensor nodal element, got {fem}")
+        k = fem.degree
+        return tuple(
+            k * c if p else k * c + 1
+            for c, p in zip(mesh.cells, mesh.periodic))
 
     # -- ordering construction (the GridViewOrdering::update analog) ---------
     def _build_c0_map(self):
@@ -272,6 +299,30 @@ class FunctionSpace:
         coords[self.element_dofs.reshape(-1)] = pts.reshape(-1, self.mesh.dim)
         return coords
 
+    def dof_coords_at(self, idx: np.ndarray) -> np.ndarray:
+        """(len(idx), dim) nodal coordinates of selected DOFs.
+
+        Structured C0 spaces use pure lattice arithmetic (no per-element
+        geometry sweep) — essential at 100M+ DOFs where materializing all
+        element node positions costs tens of GB.
+        """
+        if (self._dof_grid_dims is not None and self.mesh.uniform
+                and self.fem.continuity == "C0"):
+            from dune_pdelab_tpu.fe.basis import lagrange_nodes_1d
+            k = self.fem.degree
+            nodes1d = lagrange_nodes_1d(
+                k, getattr(self.fem, "variant", "equidistant"))
+            dims = self._dof_grid_dims
+            g = np.asarray(idx, dtype=np.int64)
+            out = np.empty((len(g), self.mesh.dim))
+            for d in range(self.mesh.dim):
+                gd = g % dims[d]
+                g = g // dims[d]
+                out[:, d] = self.mesh.lower[d] + self.mesh.h[d] * (
+                    gd // k + nodes1d[gd % k])
+            return out
+        return self.dof_coords()[np.asarray(idx)]
+
     def _geometry_at(self, ref_points: np.ndarray) -> np.ndarray:
         """Map reference points into every element: (E, npts, dim)."""
         corners = self.mesh.element_corner_coords()    # (E, C, dim)
@@ -443,16 +494,23 @@ def VectorSpace(mesh, fem, ncomp=None, ordering="lexicographic", name=""):
 
 
 def _leaf_boundary_dof_mask(space: FunctionSpace) -> np.ndarray:
-    """(ndofs,) bool mask of DOFs on the non-periodic domain boundary."""
+    """(ndofs,) bool mask of DOFs on the non-periodic domain boundary.
+
+    Face-slice writes on the nd view — O(surface) work, no O(N) index
+    arithmetic (large-array numpy is slow on some hosts; 100M+ DOFs).
+    """
     if space.fem.continuity != "C0":
         return np.zeros(space.ndofs, dtype=bool)
     dims = space._dof_grid_dims
     mesh = space.mesh
-    g = np.arange(space.ndofs, dtype=np.int64)
-    mask = np.zeros(space.ndofs, dtype=bool)
+    mask = np.zeros(tuple(reversed(dims)), dtype=bool)  # C-order, dim0 last
     for d in range(mesh.dim):
-        gd = g % dims[d]
-        g = g // dims[d]
-        if not mesh.periodic[d]:
-            mask |= (gd == 0) | (gd == dims[d] - 1)
-    return mask
+        if mesh.periodic[d]:
+            continue
+        ax = mesh.dim - 1 - d
+        sl = [slice(None)] * mesh.dim
+        sl[ax] = 0
+        mask[tuple(sl)] = True
+        sl[ax] = dims[d] - 1
+        mask[tuple(sl)] = True
+    return mask.reshape(-1)
