@@ -24,3 +24,20 @@ jax.config.update("jax_enable_x64", True)
 assert len(jax.devices()) == 8, (
     f"test suite needs 8 virtual CPU devices, got {jax.devices()}"
 )
+
+import pytest  # noqa: E402
+
+# Fast tier (`pytest -m fast`, the CI gate; the full 260+ suite takes
+# >25 min of jit compiles). Modules here must sum to < 5 min on this box.
+_FAST_MODULES = {
+    "test_mesh_space", "test_fe", "test_krylov",
+    "test_fused_cg", "test_io", "test_checkpoint",
+    "test_solver_utils", "test_boilerplate_config", "test_dgindicator",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.fast if name in _FAST_MODULES
+                        else pytest.mark.slow)

@@ -1,0 +1,99 @@
+"""Two-level DG multigrid: SIPG Poisson iteration counts must stay flat
+under mesh refinement (the AMG-for-DG oracle, reference:
+dune/pdelab/backend/istl/seq_amg_dg_backend.hh:146, test-dg-amg)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import StructuredMesh, FunctionSpace, GridOperator
+from dune_pdelab_tpu.fe import QkDGFEM
+from dune_pdelab_tpu.linalg import DGTwoLevel
+from dune_pdelab_tpu.ops import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+)
+from dune_pdelab_tpu.ops.convectiondiffusiondg import (
+    ConvectionDiffusionDG, DGMethod,
+)
+from dune_pdelab_tpu.solvers import (
+    LinearSolverBackend, StationaryLinearProblemSolver, SEQ_CG_BlockJacobi,
+)
+from dune_pdelab_tpu.space.functions import l2_difference
+
+
+class SinCos2D(ConvectionDiffusionProblem):
+    def exact(self, p):
+        return np.sin(np.pi * p[:, 0]) * np.cos(2 * np.pi * p[:, 1]) + p[:, 0]
+
+    def f(self, x):
+        return 5 * np.pi**2 * jnp.sin(np.pi * x[..., 0]) * jnp.cos(
+            2 * np.pi * x[..., 1])
+
+    def g(self, x):
+        return jnp.sin(np.pi * x[..., 0]) * jnp.cos(2 * np.pi * x[..., 1]) \
+            + x[..., 0]
+
+
+class SinCos3D(ConvectionDiffusionProblem):
+    def exact(self, p):
+        return np.sin(np.pi * p[:, 0]) * np.sin(np.pi * p[:, 1]) * p[:, 2]
+
+    def f(self, x):
+        return 2 * np.pi**2 * jnp.sin(np.pi * x[..., 0]) * jnp.sin(
+            np.pi * x[..., 1]) * x[..., 2]
+
+    def g(self, x):
+        return jnp.sin(np.pi * x[..., 0]) * jnp.sin(np.pi * x[..., 1]) \
+            * x[..., 2]
+
+
+def _solve(problem, n, dim, k=1):
+    mesh = StructuredMesh([0] * dim, [1] * dim, (n,) * dim)
+    V = FunctionSpace(mesh, QkDGFEM(k, dim))
+    go = GridOperator(V, ConvectionDiffusionDG(problem, method=DGMethod.SIPG))
+    pre = DGTwoLevel(go, ConvectionDiffusionFEM(problem),
+                     bctype=problem.dirichlet_bctype())
+    ls = LinearSolverBackend(solver="cg", precond=pre, use_stencil=False)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-10, verbose=0)
+    x = slp.apply(V.zero())
+    return V, x, slp.result.linear_solver_iterations
+
+
+@pytest.mark.parametrize("dim,sizes,problem", [
+    (2, (16, 32, 64), SinCos2D()),
+    (3, (8, 16), SinCos3D()),
+])
+def test_dg_two_level_iterations_flat(dim, sizes, problem):
+    its = []
+    for n in sizes:
+        V, x, it = _solve(problem, n, dim)
+        err = float(l2_difference(V, x, problem.exact))
+        assert err < 1.0 / n, (n, err)   # sanity: converged solve
+        its.append(it)
+    # mesh-independent iteration counts (allow small drift)
+    assert its[-1] <= its[0] + 4, its
+    assert its[-1] <= 30, its
+
+
+def test_dg_two_level_beats_block_jacobi():
+    """Two-level coarse correction must beat plain block-Jacobi CG whose
+    iteration count grows with the mesh."""
+    p = SinCos2D()
+    n = 32
+    mesh = StructuredMesh([0, 0], [1, 1], (n, n))
+    V = FunctionSpace(mesh, QkDGFEM(1, 2))
+    go = GridOperator(V, ConvectionDiffusionDG(p, method=DGMethod.SIPG))
+
+    pre = DGTwoLevel(go, ConvectionDiffusionFEM(p),
+                     bctype=p.dirichlet_bctype())
+    ls2 = LinearSolverBackend(solver="cg", precond=pre, use_stencil=False)
+    s2 = StationaryLinearProblemSolver(go, ls2, reduction=1e-10, verbose=0)
+    s2.apply(V.zero())
+
+    lsbj = SEQ_CG_BlockJacobi(use_stencil=False)
+    sbj = StationaryLinearProblemSolver(go, lsbj, reduction=1e-10, verbose=0)
+    sbj.apply(V.zero())
+
+    assert s2.result.linear_solver_iterations \
+        < 0.5 * sbj.result.linear_solver_iterations, (
+            s2.result.linear_solver_iterations,
+            sbj.result.linear_solver_iterations)
