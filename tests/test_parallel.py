@@ -87,35 +87,51 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
-def test_dof_sharded_stencil_matches():
-    """Slab-sharded halo-exchange stencil == sequential stencil, and the
-    sharded CG solve matches the sequential one (novlp backend analog)."""
+def _stencil_setup(cells, k):
     from dune_pdelab_tpu.assembly.stencil import compile_stencil
-    from dune_pdelab_tpu.parallel.dofsharded import (
-        DofShardedStencil, sharded_cg_solve,
-    )
     from dune_pdelab_tpu.ops import ConvectionDiffusionFEM
 
     p = Problem()
-    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (15, 15, 15))  # dofs 16^3
-    V = FunctionSpace(mesh, QkFEM(1, 3))
+    dim = len(cells)
+    mesh = StructuredMesh([0] * dim, [1] * dim, cells)
+    V = FunctionSpace(mesh, QkFEM(k, dim))
     cg_mask = constraints(True, V)
     go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_mask)
     st = compile_stencil(go)
     assert st is not None
-    sh = DofShardedStencil(st, devices=jax.devices()[:8])
+    return V, go, st
+
+
+@pytest.mark.parametrize("cells,k,mesh_shape", [
+    ((15, 15, 15), 1, None),       # divisible slabs, k=1
+    ((13, 11, 9), 1, None),        # non-divisible slowest axis (padding)
+    ((9, 9, 9), 2, None),          # Q2 residue classes, non-divisible
+    ((11, 13, 9), 1, (4, 2)),      # 2D device mesh (corner halo exchange)
+    ((7, 9, 7), 2, (2, 2)),        # Q2 on 2D device mesh
+])
+def test_dof_sharded_stencil_matches(cells, k, mesh_shape):
+    """Lattice-sharded halo-exchange stencil == sequential stencil, and the
+    sharded CG solve matches the sequential one (novlp backend analog,
+    reference: dune/pdelab/backend/istl/novlpistlsolverbackend.hh:96)."""
+    from dune_pdelab_tpu.parallel.dofsharded import (
+        DofShardedStencil, sharded_cg_solve,
+    )
+
+    V, go, st = _stencil_setup(cells, k)
+    sh = DofShardedStencil(st, devices=jax.devices()[:8],
+                           mesh_shape=mesh_shape)
     rng = np.random.default_rng(3)
     z = jnp.asarray(rng.standard_normal(V.ndofs))
     y1 = st(z)
-    y2 = sh(sh.device_put(z))
-    assert float(jnp.linalg.norm(y1 - jax.device_get(y2))) < 1e-12
+    y2 = sh.gather(sh(sh.device_put(z)))
+    assert float(jnp.linalg.norm(y1 - y2)) < 1e-11
 
     b = go.residual(V.zero())
     d = go.jacobian_diagonal(V.zero())
     x_seq, s_seq = cg(lambda q: st(q), b, M=lambda r: r / d, tol=1e-12)
     x_sh, s_sh = sharded_cg_solve(sh, b, diag=d, tol=1e-12)
     assert int(s_seq.iterations) == int(s_sh.iterations)
-    assert float(jnp.linalg.norm(x_seq - jax.device_get(x_sh))) < 1e-9
+    assert float(jnp.linalg.norm(x_seq - x_sh)) < 1e-9
 
 
 def test_comm_policies():
