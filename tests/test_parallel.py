@@ -134,6 +134,91 @@ def test_dof_sharded_stencil_matches(cells, k, mesh_shape):
     assert float(jnp.linalg.norm(x_seq - x_sh)) < 1e-9
 
 
+@pytest.mark.parametrize("ndev", [1, 3, 8])
+def test_novlp_residual_jvp_matches(ndev):
+    """Nonoverlapping (block-DOF-sharded, halo-only comm) assembly ==
+    sequential, Q2 with boundary terms (novlpistlsolverbackend.hh analog)."""
+    from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator
+
+    V, go = _ops(n=10, dim=2, k=2)
+    ngo = NonoverlappingShardedGridOperator(go, devices=jax.devices()[:ndev])
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(V.ndofs))
+    z = jnp.asarray(rng.standard_normal(V.ndofs))
+    assert float(jnp.linalg.norm(go.residual(x) - ngo.residual(x))) < 1e-11
+    assert float(jnp.linalg.norm(
+        go.jacobian_apply(x, z) - ngo.jacobian_apply(x, z))) < 1e-11
+
+
+def test_novlp_dg_skeleton_matches():
+    """DG skeleton + boundary terms through the halo-window path."""
+    from dune_pdelab_tpu.fe import QkDGFEM
+    from dune_pdelab_tpu.ops.convectiondiffusiondg import (
+        ConvectionDiffusionDG, DGMethod,
+    )
+    from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator
+
+    p = Problem()
+    mesh = StructuredMesh([0, 0], [1, 1], (12, 12))
+    V = FunctionSpace(mesh, QkDGFEM(1, 2))
+    go = GridOperator(V, ConvectionDiffusionDG(p, method=DGMethod.SIPG))
+    ngo = NonoverlappingShardedGridOperator(go, devices=jax.devices()[:4])
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal(V.ndofs))
+    z = jnp.asarray(rng.standard_normal(V.ndofs))
+    assert float(jnp.linalg.norm(go.residual(x) - ngo.residual(x))) < 1e-11
+    assert float(jnp.linalg.norm(
+        go.jacobian_apply(x, z) - ngo.jacobian_apply(x, z))) < 1e-11
+
+
+def test_novlp_cg_iteration_parity():
+    """Sharded CG on block-sharded vectors: same iterations as sequential."""
+    from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator
+
+    V, go = _ops(n=12, dim=2, k=2)
+    ngo = NonoverlappingShardedGridOperator(go, devices=jax.devices()[:4])
+    x0 = V.zero()
+    b = go.residual(x0)
+    d = go.jacobian_diagonal(x0)
+    z1, s1 = cg(lambda p_: go.jacobian_apply(x0, p_), b, M=lambda r: r / d,
+                tol=1e-12)
+    z2, s2 = ngo.solve_cg(x0, b, diag=d, tol=1e-12)
+    assert int(s1.iterations) == int(s2.iterations)
+    assert float(jnp.linalg.norm(z1 - z2)) < 1e-9
+
+
+def test_sharded_gmg_iteration_parity():
+    """Sharded GMG V-cycle (halo-only smoother comm) == sequential GMG:
+    identical preconditioned-CG iteration counts and solutions."""
+    from dune_pdelab_tpu import StationaryLinearProblemSolver, interpolate_dirichlet
+    from dune_pdelab_tpu.linalg.multigrid import GeometricMultigrid
+    from dune_pdelab_tpu.parallel.gmg import ShardedGeometricMultigrid
+    from dune_pdelab_tpu.solvers import LinearSolverBackend
+
+    p = Problem()
+    mesh = StructuredMesh([0, 0], [1, 1], (32, 32))
+    fem = QkFEM(1, 2)
+    V = FunctionSpace(mesh, fem)
+    bctype = p.dirichlet_bctype()
+    cg_ = constraints(bctype, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    x0 = V.zero()
+    its, xs = [], []
+    for gmg in (GeometricMultigrid(ConvectionDiffusionFEM(p), mesh, fem,
+                                   bctype=bctype),
+                ShardedGeometricMultigrid(ConvectionDiffusionFEM(p), mesh, fem,
+                                          bctype=bctype,
+                                          devices=jax.devices()[:4])):
+        slp = StationaryLinearProblemSolver(
+            go, LinearSolverBackend(solver="cg", precond=gmg),
+            reduction=1e-10, verbose=0)
+        xs.append(slp.apply(x0))
+        assert slp.result.converged
+        its.append(slp.result.linear_solver_iterations)
+    assert its[0] == its[1], its
+    assert float(jnp.linalg.norm(xs[0] - xs[1])) < 1e-8
+
+
 def test_comm_policies():
     """Data-handle policy analogs: add/copy/min/max plane exchange + masked
     dots (genericdatahandle.hh policies, parallelhelper.hh disjointDot)."""
