@@ -1,0 +1,247 @@
+"""Assembled lattice-ELL Jacobian: per-row tap values + shift-MAC SpMV.
+
+The TPU-native answer to the reference's assembled BCSR path (reference:
+dune/pdelab/backend/istl/bcrspattern.hh:1-409 pattern construction,
+bcrsmatrix.hh:1-278 storage). On a structured Qk lattice every DOF row
+couples to at most (2k+1)^d neighbors at FIXED offsets, so instead of CSR
+(row pointers + column indices + values — gather-based SpMV, hostile to the
+VPU) the matrix is stored offset-keyed:
+
+    A[i, i + off_t] = values[t][i]         (ELL with implicit column index)
+
+and SpMV is `sum_t values[t] * shift(x, off_t)` — dense streaming
+multiply-adds, no gathers. Unlike the compiled stencil (assembly/stencil.py)
+this holds PER-ROW values, so it is exact for variable coefficients, any
+linearization point, and boundary-modified rows — the general assembled
+matrix, in the only layout the hardware likes.
+
+Assembly is matrix-free probing with lattice coloring: color the DOF lattice
+by coordinates mod (2k+1) per dim; two same-color columns never share a row,
+so ONE jacobian_apply per color recovers its columns exactly —
+(2k+1)^d = 27 (Q1 3d) / 125 (Q2 3d) jvp sweeps total, the analog of the
+reference's one-sweep-per-color threaded assembly.
+
+`pattern_stats` reports the nnz/bytes bookkeeping the reference's pattern
+statistics expose (bcrspattern.hh).
+"""
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class EllMatrix:
+    """y = mask ? z : A z with A stored as (ntaps, *grid) per-row values."""
+
+    def __init__(self, dims, k, offsets, values, mask):
+        self.dims = tuple(dims)              # dof lattice dims, dim0 fastest
+        self.k = k
+        self.offsets = np.asarray(offsets)   # (ntaps, dim) dim0 fastest
+        self.values = values                 # (ntaps, *grid_shape) jnp array
+        self.mask = mask                     # (N,) bool or None
+        self.grid_shape = tuple(reversed(dims))
+        self._apply = jax.jit(self._apply_impl)
+
+    def _apply_impl(self, z):
+        k = self.k
+        dim = len(self.dims)
+        zf = jnp.where(self.mask, 0.0, z) if self.mask is not None else z
+        grid = zf.reshape(self.grid_shape)
+        gp = jnp.pad(grid, k)
+        out = None
+        for t in range(self.offsets.shape[0]):
+            off = self.offsets[t]
+            start = tuple(k + int(off[d]) for d in reversed(range(dim)))
+            piece = lax.dynamic_slice(gp, start, grid.shape)
+            term = self.values[t] * piece
+            out = term if out is None else out + term
+        y = out.reshape(-1)
+        if self.mask is not None:
+            y = jnp.where(self.mask, z, y)
+        return y
+
+    def __call__(self, z):
+        return self._apply(z)
+
+    def pattern_stats(self):
+        """Pattern statistics (reference: bcrspattern.hh bookkeeping)."""
+        vals = np.asarray(self.values)
+        N = int(np.prod(self.dims))
+        nnz = int(np.count_nonzero(vals))
+        stored = vals.size
+        return {
+            "rows": N,
+            "taps": int(self.offsets.shape[0]),
+            "stored_entries": stored,
+            "nonzeros": nnz,
+            "fill_ratio": nnz / max(stored, 1),
+            "bytes": stored * vals.dtype.itemsize,
+            "bytes_per_row": stored * vals.dtype.itemsize / max(N, 1),
+        }
+
+
+def assemble_ell(go, x_lin=None, time=0.0):
+    """Assemble the (constrained) Jacobian of `go` at x_lin as an EllMatrix.
+
+    Returns None when the space does not qualify (needs a single-leaf C0
+    tensor Lagrange space on a structured mesh — the lattice-locality
+    guarantee). Valid for variable coefficients and nonlinear operators
+    (assembles the linearization at x_lin), unlike compile_stencil.
+    """
+    space = go.space
+    if not getattr(space, "is_leaf", False):
+        return None
+    fem = space.fem
+    mesh = space.mesh
+    if fem.continuity != "C0" or not hasattr(fem, "_mi") or any(mesh.periodic):
+        return None
+    k = fem.degree
+    dim = mesh.dim
+    dims = space._dof_grid_dims
+    grid_shape = tuple(reversed(dims))
+    P = 2 * k + 1
+    offsets = np.array(list(itertools.product(
+        *[range(-k, k + 1)] * dim)))[:, ::-1]        # dim0 fastest
+    ntaps = len(offsets)
+    if x_lin is None:
+        x_lin = jnp.zeros(space.ndofs)
+
+    # one probe per lattice color: e_c = sum of unit vectors at points with
+    # coords ≡ c (mod P); same-color columns never share a row
+    grids = np.meshgrid(*[np.arange(n) % P for n in grid_shape],
+                        indexing="ij")
+
+    @jax.jit
+    def probe(e):
+        return go.jacobian_apply(x_lin, e, time)
+
+    values = np.zeros((ntaps,) + grid_shape)
+    for color in itertools.product(*[range(min(P, n))
+                                     for n in grid_shape]):
+        sel = np.ones(grid_shape, bool)
+        for a in range(dim):
+            sel &= grids[a] == color[a]
+        if not sel.any():
+            continue
+        e = jnp.asarray(sel.reshape(-1).astype(np.float64))
+        col = np.asarray(probe(e)).reshape(grid_shape)
+        # rows i with (i + off) of this color: strided sublattice per tap
+        for t in range(ntaps):
+            off_g = offsets[t][::-1]                 # grid-axis order
+            start = [(color[a] - int(off_g[a])) % P for a in range(dim)]
+            if any(start[a] >= grid_shape[a] for a in range(dim)):
+                continue
+            sl = tuple(slice(start[a], None, P) for a in range(dim))
+            values[(t,) + sl] = col[sl]
+
+    mask = go.cg.mask if go.cg is not None else None
+    if mask is not None:
+        # jacobian_apply returns z on constrained rows — those probe entries
+        # are identity artifacts, not matrix values; zero them (the apply
+        # re-imposes identity via the mask)
+        mrows = np.asarray(go.cg.mask_np, bool).reshape(grid_shape)
+        values[:, mrows] = 0.0
+    return EllMatrix(dims, k, offsets, jnp.asarray(values), mask)
+
+
+# -- Pallas tiled SpMV -------------------------------------------------------
+
+def build_tiled_ell_apply(dims, offsets, values, row_block=128,
+                          interpret=False):
+    """Tiled Pallas lowering of the ELL SpMV for 3D k=1 lattices with
+    lane-aligned nx (follows assembly/stencil_pallas_tile.py: rows = nz*ny,
+    lanes = nx; z/y offsets -> sublane row offsets, x offsets -> lane rolls;
+    the lane wrap only pollutes Dirichlet-masked boundary columns)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
+    R = nz * ny
+    H = ((ny + 1 + 7) // 8) * 8
+    taps = []
+    vals_list = []
+    varr = np.asarray(values)
+    for t in range(len(offsets)):
+        dx, dy, dz = (int(offsets[t][0]), int(offsets[t][1]),
+                      int(offsets[t][2]))
+        if not np.any(varr[t]):
+            continue
+        taps.append((dz * ny + dy, dx))
+        vals_list.append(varr[t].reshape(R, nx))
+    nt = len(taps)
+    RB = min(row_block, R)
+    nblocks = -(-R // RB)
+    R_pad = nblocks * RB
+    total_rows = R_pad + 2 * H
+    vals = np.zeros((nt, R_pad, nx), np.float32)
+    for t in range(nt):
+        vals[t, :R] = vals_list[t]
+    vals = jnp.asarray(vals)
+
+    def kernel(zp_ref, vals_ref, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            zp_ref.at[pl.ds(i * RB, RB + 2 * H), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        acc = None
+        for t, (ro, dx) in enumerate(taps):
+            seg = scratch[pl.ds(H + ro, RB), :]
+            if dx != 0:
+                seg = pltpu.roll(seg, (-dx) % nx, 1)
+            term = vals_ref[t] * seg
+            acc = term if acc is None else acc + term
+        out_ref[:, :] = acc
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R_pad, nx), jnp.float32),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((nt, RB, nx), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, nx), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RB + 2 * H, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def apply(z):
+        grid = z.astype(jnp.float32).reshape(R, nx)
+        zp = jnp.zeros((total_rows, nx), jnp.float32)
+        zp = jax.lax.dynamic_update_slice(zp, grid, (H, 0))
+        out = call(zp, vals)
+        return out[:R].reshape(-1).astype(z.dtype)
+
+    return apply
+
+
+def try_pallas_tiled_ell(ell: EllMatrix, interpret=False, row_block=128):
+    """Lower an EllMatrix (k=1, 3D, lane-aligned nx, all-Dirichlet boundary)
+    to the tiled kernel with masked semantics; None if it does not qualify."""
+    if ell.k != 1 or len(ell.dims) != 3:
+        return None
+    if ell.dims[0] % 128 != 0 and not interpret:
+        return None
+    if ell.mask is None:
+        return None
+    core = build_tiled_ell_apply(ell.dims, ell.offsets, ell.values,
+                                 row_block=row_block, interpret=interpret)
+    mask = ell.mask
+
+    def apply(z):
+        zf = jnp.where(mask, 0.0, z)
+        y = core(zf)
+        return jnp.where(mask, z, y)
+
+    return jax.jit(apply)

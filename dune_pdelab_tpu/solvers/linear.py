@@ -47,6 +47,10 @@ class LinearSolverBackend:
     # try to compile linear translation-invariant operators into shift-MAC
     # stencils (assembly/stencil.py) — the fast structured SpMV on TPU
     use_stencil: bool = True
+    # assembled path: prefer the lattice-ELL layout (assembly/ell.py, the
+    # BCSR analog — offset-keyed per-row values, gather-free SpMV) over
+    # BCOO when the space qualifies
+    use_ell: bool = True
     cheby_degree: int = 4
     stats_history: list = field(default_factory=list)
     _solve_cache: dict = field(default_factory=dict, repr=False)
@@ -198,16 +202,41 @@ class LinearSolverBackend:
             z, stats = krylov.SOLVERS[self.solver](
                 A, b, x0=x0, M=M, tol=reduction, **kw)
         elif not self.matrix_free:
-            key = (id(go), "mat", b.dtype, b.shape)
-            if key not in self._solve_cache:
-                self._solve_cache[key] = self._build_solve(go, assembled="mat")
             mkey = (id(go), "matval")
             if mkey not in self._setup_cache or not (
                     reuse or getattr(go.lop, "is_linear", False)):
-                self._setup_cache[mkey] = go.jacobian(x_lin, time)
+                mat = None
+                if self.use_ell:
+                    from dune_pdelab_tpu.assembly.ell import (
+                        assemble_ell, try_pallas_tiled_ell,
+                    )
+                    try:
+                        mat = assemble_ell(go, x_lin, time)
+                    except Exception:
+                        mat = None
+                    if mat is not None and jax.default_backend() != "cpu":
+                        tiled = try_pallas_tiled_ell(mat)
+                        if tiled is not None:
+                            mat = tiled
+                if mat is None:
+                    mat = go.jacobian(x_lin, time)
+                self._setup_cache[mkey] = mat
             mat = self._setup_cache[mkey]
-            setup = self._precond_setup(go, x_lin, time, reuse)
-            z, stats = self._solve_cache[key](mat, b, setup, reduction, x0)
+            if callable(mat) and not hasattr(mat, "todense"):
+                # ELL (or its Pallas lowering): operator-shaped assembled form
+                key = (id(mat), "ell", b.dtype, b.shape)
+                if key not in self._solve_cache:
+                    self._solve_cache[key] = self._build_solve(
+                        mat, assembled="stencil")
+                setup = self._precond_setup(go, x_lin, time, reuse)
+                z, stats = self._solve_cache[key](b, setup, reduction, x0)
+            else:
+                key = (id(go), "mat", b.dtype, b.shape)
+                if key not in self._solve_cache:
+                    self._solve_cache[key] = self._build_solve(
+                        go, assembled="mat")
+                setup = self._precond_setup(go, x_lin, time, reuse)
+                z, stats = self._solve_cache[key](mat, b, setup, reduction, x0)
         elif (self.use_stencil and getattr(go.lop, "is_linear", False)
               and self._stencil_for(go, x_lin, time) is not None):
             st = self._stencil_for(go, x_lin, time)

@@ -1,0 +1,160 @@
+"""Assembled lattice-ELL path (BCSR analog, reference:
+dune/pdelab/backend/istl/bcrspattern.hh, bcrsmatrix.hh). Oracles: ELL SpMV
+== matrix-free jacobian_apply on variable-coefficient problems (where the
+translation-invariant stencil refuses), assembled-vs-matrix-free CG
+iteration parity (reference: dune/pdelab/test/matrixfree/
+matrix_free_linear.cc:4-8), and the Pallas tiled lowering in interpreter
+mode."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import (
+    StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+)
+from dune_pdelab_tpu.assembly.ell import (
+    EllMatrix, assemble_ell, try_pallas_tiled_ell,
+)
+from dune_pdelab_tpu.assembly.stencil import compile_stencil
+from dune_pdelab_tpu.linalg import cg
+from dune_pdelab_tpu.ops import ConvectionDiffusionProblem, ConvectionDiffusionFEM
+
+
+class VarCoeff(ConvectionDiffusionProblem):
+    """x-dependent diffusion + convection: NOT translation invariant."""
+
+    def A(self, x):
+        a = 1.0 + 0.5 * jnp.sin(3 * x[..., 0]) * x[..., 1]
+        d = x.shape[-1]
+        return a[..., None, None] * jnp.eye(d, dtype=x.dtype)
+
+    def b(self, x):
+        v = jnp.stack([0.5 + x[..., 1], -0.3 * x[..., 0]], axis=-1)
+        if x.shape[-1] == 3:
+            v = jnp.concatenate(
+                [v, 0.1 * x[..., 2:3]], axis=-1)
+        return v
+
+    def c(self, x):
+        return 0.7 + x[..., 0]
+
+    def f(self, x):
+        return jnp.ones(x.shape[:-1], x.dtype)
+
+
+def _setup(cells, k):
+    dim = len(cells)
+    mesh = StructuredMesh([0] * dim, [1] * dim, cells)
+    V = FunctionSpace(mesh, QkFEM(k, dim))
+    p = VarCoeff()
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    return V, go
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("cells,k", [
+    ((9, 7), 1), ((6, 5), 2), ((7, 6, 5), 1), ((4, 4, 4), 2),
+])
+def test_ell_matches_matrix_free(cells, k):
+    V, go = _setup(cells, k)
+    assert compile_stencil(go) is None          # variable coefficients
+    ell = assemble_ell(go)
+    assert ell is not None
+    rng = np.random.default_rng(0)
+    x0 = V.zero()
+    for _ in range(3):
+        z = jnp.asarray(rng.standard_normal(V.ndofs))
+        ref = go.jacobian_apply(x0, z)
+        got = ell(z)
+        assert float(jnp.linalg.norm(ref - got)) < 1e-10 * max(
+            1.0, float(jnp.linalg.norm(ref)))
+
+
+@pytest.mark.fast
+def test_ell_matches_stencil_when_invariant():
+    """Constant coefficients: ELL and compiled stencil agree exactly."""
+    class P(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (8, 8, 8))
+    V = FunctionSpace(mesh, QkFEM(1, 3))
+    p = P()
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    st = compile_stencil(go)
+    ell = assemble_ell(go)
+    assert st is not None and ell is not None
+    z = jnp.asarray(np.random.default_rng(1).standard_normal(V.ndofs))
+    assert float(jnp.linalg.norm(st(z) - ell(z))) < 1e-11
+
+
+@pytest.mark.fast
+def test_ell_cg_iteration_parity():
+    """Assembled ELL CG == matrix-free CG: same iterations, same solution
+    (matrix_free_linear.cc oracle)."""
+    V, go = _setup((12, 10), 1)
+    x0 = V.zero()
+    b = go.residual(x0)
+    d = go.jacobian_diagonal(x0)
+    ell = assemble_ell(go)
+    # nonsymmetric (convection) — use bicgstab
+    from dune_pdelab_tpu.linalg.krylov import bicgstab
+    z1, s1 = bicgstab(lambda p: go.jacobian_apply(x0, p), b,
+                      M=lambda r: r / d, tol=1e-12)
+    z2, s2 = bicgstab(ell, b, M=lambda r: r / d, tol=1e-12)
+    assert int(s1.iterations) == int(s2.iterations)
+    assert float(jnp.linalg.norm(z1 - z2)) < 1e-8
+
+
+@pytest.mark.fast
+def test_ell_backend_solve():
+    """LinearSolverBackend(matrix_free=False) picks the ELL path and
+    converges to the same solution as the matrix-free backend."""
+    from dune_pdelab_tpu.solvers import LinearSolverBackend
+
+    V, go = _setup((10, 10), 1)
+    x0 = V.zero()
+    b = go.residual(x0)
+    be_mf = LinearSolverBackend(solver="bicgstab", precond="jacobi")
+    be_as = LinearSolverBackend(solver="bicgstab", precond="jacobi",
+                                matrix_free=False)
+    z1, s1 = be_mf.solve(go, x0, b, 1e-11)
+    z2, s2 = be_as.solve(go, x0, b, 1e-11)
+    assert bool(s1.converged) and bool(s2.converged)
+    assert float(jnp.linalg.norm(z1 - z2)) < 1e-7
+    # the ELL form was actually used (operator-shaped assembled cache entry)
+    assert any(k[1] == "ell" for k in be_as._solve_cache)
+
+
+@pytest.mark.fast
+def test_ell_pattern_stats():
+    V, go = _setup((8, 8), 1)
+    ell = assemble_ell(go)
+    st = ell.pattern_stats()
+    assert st["rows"] == V.ndofs
+    assert st["taps"] == 9
+    assert 0 < st["nonzeros"] <= st["stored_entries"]
+    assert st["bytes_per_row"] > 0
+
+
+def test_ell_pallas_tiled_interpret():
+    """Pallas tiled ELL SpMV (interpreter mode) == plain ELL apply."""
+    class P(VarCoeff):
+        pass
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (7, 5, 5))  # nx dofs = 8
+    V = FunctionSpace(mesh, QkFEM(1, 3))
+    p = P()
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    ell = assemble_ell(go)
+    tiled = try_pallas_tiled_ell(ell, interpret=True)
+    assert tiled is not None
+    z = jnp.asarray(np.random.default_rng(2).standard_normal(V.ndofs))
+    y_ref = np.asarray(ell(z))
+    y_t = np.asarray(tiled(z))
+    # lane wrap pollutes only masked boundary columns -> compare after mask
+    assert float(np.linalg.norm(y_ref - y_t)) < 1e-5
