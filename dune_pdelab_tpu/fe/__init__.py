@@ -3,5 +3,5 @@ from dune_pdelab_tpu.fe.quadrature import (
 )
 from dune_pdelab_tpu.fe.basis import (
     FiniteElement, QkFEM, QkDGFEM, PkFEM, PkDGFEM, P0FEM, LegendreDGFEM,
-    RannacherTurekFEM,
+    RannacherTurekFEM, MonomialDGFEM, OPBFEM,
 )

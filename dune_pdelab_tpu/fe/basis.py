@@ -256,6 +256,85 @@ class LegendreDGFEM(FiniteElement):
         return (vals * self._iw[:, None]).T      # orthonormal basis: coeffs = sum w f phi
 
 
+class MonomialDGFEM(FiniteElement):
+    """Total-degree monomial DG basis x^alpha, |alpha| <= k, on cube or
+    simplex reference elements (reference:
+    dune/pdelab/finiteelementmap/monomfem.hh). Interpolation is discrete L2
+    projection (mass-matrix solve; the basis is not orthogonal)."""
+
+    continuity = "DG"
+    nodes = None
+
+    def __init__(self, k: int, dim: int, geometry: str = "cube"):
+        self.dim = dim
+        self.degree = k
+        self.k = k
+        self.geometry = geometry
+        self._exps = np.array(
+            [mi for mi in itertools.product(range(k + 1), repeat=dim)
+             if sum(mi) <= k], dtype=int)
+        self.nbasis = len(self._exps)
+        self._ip, self._iw = quadrature_rule(geometry, dim, 2 * k + 1)
+
+    def _monomials(self, points: np.ndarray):
+        points = np.atleast_2d(points)
+        npts = points.shape[0]
+        vals = np.ones((npts, self.nbasis))
+        for d in range(self.dim):
+            vals *= points[:, d:d + 1] ** self._exps[:, d]
+        grads = np.empty((npts, self.nbasis, self.dim))
+        for g in range(self.dim):
+            gg = np.ones((npts, self.nbasis))
+            for d in range(self.dim):
+                e = self._exps[:, d]
+                if d == g:
+                    gg *= np.where(e == 0, 0.0,
+                                   e * points[:, d:d + 1]
+                                   ** np.maximum(e - 1, 0))
+                else:
+                    gg *= points[:, d:d + 1] ** e
+            grads[:, :, g] = gg
+        return vals, grads
+
+    def tabulate(self, points: np.ndarray):
+        return self._monomials(points)
+
+    @property
+    def interpolation_points(self):
+        return self._ip
+
+    @property
+    def interpolation_matrix(self):
+        V, _ = self._monomials(self._ip)             # (nqp, nb)
+        M = V.T @ (V * self._iw[:, None])            # Gram (mass) matrix
+        return np.linalg.solve(M, (V * self._iw[:, None]).T)
+
+
+class OPBFEM(MonomialDGFEM):
+    """L2-orthonormal polynomial basis of total degree k on cube or simplex
+    (reference: dune/pdelab/finiteelementmap/opbfem.hh,
+    dune/pdelab/finiteelement/l2orthonormal.hh). Built by Cholesky
+    orthonormalization of the monomial basis against the reference-element
+    L2 inner product, so mass matrices are identity and interpolation is a
+    plain weighted inner product."""
+
+    def __init__(self, k: int, dim: int, geometry: str = "cube"):
+        super().__init__(k, dim, geometry)
+        V, _ = self._monomials(self._ip)
+        G = V.T @ (V * self._iw[:, None])            # monomial Gram matrix
+        L = np.linalg.cholesky(G)
+        self._C = np.linalg.inv(L).T                 # basis = monomials @ C
+
+    def tabulate(self, points: np.ndarray):
+        V, dV = self._monomials(points)
+        return V @ self._C, np.einsum("pmd,mb->pbd", dV, self._C)
+
+    @property
+    def interpolation_matrix(self):
+        vals, _ = self.tabulate(self._ip)            # orthonormal
+        return (vals * self._iw[:, None]).T
+
+
 class PkFEM(FiniteElement):
     """Continuous Lagrange Pk on the simplex (reference:
     dune/pdelab/finiteelementmap/pkfem.hh). Lattice-point nodal basis via
@@ -391,5 +470,6 @@ def _cached_fem(cls_name: str, *args):
         "QkFEM": QkFEM, "QkDGFEM": QkDGFEM, "PkFEM": PkFEM, "PkDGFEM": PkDGFEM,
         "P0FEM": P0FEM, "LegendreDGFEM": LegendreDGFEM,
         "RannacherTurekFEM": RannacherTurekFEM,
+        "MonomialDGFEM": MonomialDGFEM, "OPBFEM": OPBFEM,
     }[cls_name]
     return cls(*args)

@@ -163,3 +163,91 @@ class BDM1Cube(VectorFiniteElement):
     @property
     def ndofs_per_face(self):
         return 2
+
+
+class RT1Cube2D(VectorFiniteElement):
+    """Raviart-Thomas order 1 on the reference square (reference:
+    dune/pdelab/finiteelementmap/rt1cube2dfem.hh).
+
+    Space Q_{2,1} x Q_{1,2} (12 dofs): per face two moments of the normal
+    component against {1, 2t-1} (t the global tangential coordinate, so
+    shared-face dofs agree between neighbors on structured meshes), plus
+    four interior moments: v_x against {1, 2y-1}, v_y against {1, 2x-1}.
+    Local ordering (a, s, m) faces then interior — matches the space
+    layer's face-lattice numbering (space/space.py _build_hdiv_map)."""
+
+    degree = 2
+    ndofs_per_face = 2
+    ndofs_interior = 4
+
+    def __init__(self, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("RT1Cube: 2D only")
+        self.dim = 2
+        self.nbasis = 12
+        # Q_{2,1} for v_x: {1,x,x^2} x {1,y}; Q_{1,2} for v_y: {1,x} x {1,y,y^2}
+        self._funcs = []
+        self._divs = []
+        for i in range(3):
+            for j in range(2):
+                self._funcs.append(("x", i, j))
+                self._divs.append(("x", i, j))
+        for i in range(2):
+            for j in range(3):
+                self._funcs.append(("y", i, j))
+                self._divs.append(("y", i, j))
+        self._C = np.linalg.inv(self._dof_matrix())
+
+    def _eval_raw(self, points):
+        x, y = points[:, 0], points[:, 1]
+        n = len(points)
+        vals = np.zeros((n, 12, 2))
+        divs = np.zeros((n, 12))
+        for jf, (comp, i, j) in enumerate(self._funcs):
+            if comp == "x":
+                vals[:, jf, 0] = x**i * y**j
+                divs[:, jf] = (i * x**(i - 1) if i else 0.0) * y**j
+            else:
+                vals[:, jf, 1] = x**i * y**j
+                divs[:, jf] = x**i * (j * y**(j - 1) if j else 0.0)
+        return vals, divs
+
+    def _dofs_of_raw(self):
+        from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+        xq, wq = gauss_legendre(5)
+        M = np.zeros((12, 12))
+        row = 0
+        for a in range(2):
+            t_axis = 1 - a
+            for s in (0, 1):
+                pts = np.zeros((len(xq), 2))
+                pts[:, a] = float(s)
+                pts[:, t_axis] = xq
+                raw, _ = self._eval_raw(pts)
+                vn = raw[:, :, a]                      # (nq, 12)
+                M[row] = wq @ vn
+                M[row + 1] = (wq * (2 * xq - 1)) @ vn
+                row += 2
+        # interior: tensor GL grid
+        X, Y = np.meshgrid(xq, xq, indexing="ij")
+        W = np.outer(wq, wq).ravel()
+        pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+        raw, _ = self._eval_raw(pts)
+        M[8] = W @ raw[:, :, 0]
+        M[9] = (W * (2 * pts[:, 1] - 1)) @ raw[:, :, 0]
+        M[10] = W @ raw[:, :, 1]
+        M[11] = (W * (2 * pts[:, 0] - 1)) @ raw[:, :, 1]
+        return M
+
+    def _dof_matrix(self):
+        return self._dofs_of_raw()                     # M[dof, func]
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        raw, _ = self._eval_raw(points)
+        return np.einsum("pjd,jb->pbd", raw, self._C)
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        _, divs = self._eval_raw(points)
+        return divs @ self._C

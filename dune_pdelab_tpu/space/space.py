@@ -212,6 +212,12 @@ class FunctionSpace:
                 fidx = g @ strides
                 for k in range(m):
                     cols.append(offsets[a] + fidx * m + k)
+        # interior dofs (RT1+): element-local block after all face dofs
+        ni = getattr(fem, "ndofs_interior", 0)
+        if ni:
+            eidx = np.arange(mesh.nelements, dtype=np.int64)
+            for k in range(ni):
+                cols.append(off + eidx * ni + k)
         return np.stack(cols, axis=1)
 
     def _build_hcurl_map(self):
