@@ -87,7 +87,6 @@ class VolumeGeometry:
             self.jac_inv_T = invT                             # (E, nqp, d, d)
             self.factor = weights[None, :] * np.abs(detJ)     # (E, nqp)
             self.cell_volume = np.einsum("q,eq->e", weights, np.abs(detJ))
-            self.origins = None
             self.corners = corners
             self._N = N
             self.qp_phys = np.einsum("qc,ecd->eqd", N, corners)

@@ -158,12 +158,16 @@ class GridOperator:
         if needs_faces and not hasattr(mesh, "boundary_faces"):
             raise NotImplementedError(
                 f"{type(mesh).__name__} provides no face lists; boundary/"
-                "skeleton kernels need a structured mesh (for pure-Dirichlet "
-                "problems pass skip_boundary=True)")
-        if self.has["alpha_boundary"] or self.has["lambda_boundary"]:
-            self._build_boundary_groups(self._leaf_maps())
-        if self.has["alpha_skeleton"]:
-            self._build_skeleton_groups(self._leaf_maps())
+                "skeleton kernels need a structured or simplex mesh (for "
+                "pure-Dirichlet problems pass skip_boundary=True)")
+        if mesh.geometry_type == "simplex":
+            if needs_faces:
+                self._build_simplex_face_groups(self._leaf_maps())
+        else:
+            if self.has["alpha_boundary"] or self.has["lambda_boundary"]:
+                self._build_boundary_groups(self._leaf_maps())
+            if self.has["alpha_skeleton"]:
+                self._build_skeleton_groups(self._leaf_maps())
 
         # persistent jitted entry points (trace once per shape/dtype; the
         # FastDG lesson — gather/trace overhead dominates — applied to jit)
@@ -334,6 +338,126 @@ class GridOperator:
             origins = (mesh.lower + mesh.element_multi_index() * mesh.h)[g.elements]
             g.x = origins[:, None, :] + (pts_in * mesh.h)[None]
             self.skel_groups.append(g)
+
+    def _build_simplex_face_groups(self, leaf_maps):
+        """Face groups on simplex meshes (reference: the intersection sweep
+        of gridoperator/default/assembler.hh:156-252 generalized to any
+        grid). Faces are grouped by their local-embedding configuration —
+        the positions of the canonically (sorted-globally) ordered face
+        vertices inside each adjacent cell — so basis tabulations are shared
+        per group while normals, measures, and physical gradients vary per
+        face (affine geometry)."""
+        from dune_pdelab_tpu.assembly.dofmaps import IndexFaceTransfer
+
+        mesh = self.mesh
+        dim = mesh.dim
+        for lf in self.leaves:
+            if lf.fem.continuity in ("Hdiv", "Hcurl"):
+                raise NotImplementedError(
+                    "simplex face integrals for vector elements")
+        qpf, wf = quadrature_rule("simplex", dim - 1, self.qorder)
+        lam = np.concatenate(
+            [1.0 - qpf.sum(axis=1, keepdims=True), qpf], axis=1)  # (nqp, d)
+        # reference coords of local vertex v = the P1 geometry map's node v
+        # (the same convention VolumeGeometry's corner map uses)
+        from dune_pdelab_tpu.fe.basis import _cached_fem
+        ref_corners = _cached_fem("PkFEM", 1, dim).nodes          # (d+1, dim)
+        verts = mesh.vertices
+        cells = mesh.cells
+        jacT = np.asarray(self.vol_geo.jac_inv_T)[:, 0]           # (E, d, d)
+        cellvol = np.asarray(self.vol_geo.cell_volume)
+        d1 = dim + 1
+        locs = np.array([[v for v in range(d1) if v != l] for l in range(d1)])
+        ref_face_vol = float(wf.sum())
+
+        def face_geometry(cellids, locfaces):
+            gv_raw = cells[cellids[:, None], locs[locfaces]]      # (F, d)
+            canon = np.sort(gv_raw, axis=1)
+            pos = (cells[cellids][:, :, None]
+                   == canon[:, None, :]).argmax(axis=1)           # (F, d)
+            A = verts[canon]                                      # (F, d, dim)
+            edges = A[:, 1:] - A[:, :1]                           # (F, d-1, dim)
+            G = np.einsum("fid,fjd->fij", edges, edges)
+            dens = np.sqrt(np.abs(np.linalg.det(G)))              # (F,)
+            if dim == 2:
+                t = edges[:, 0]
+                n = np.stack([t[:, 1], -t[:, 0]], axis=1)
+            else:
+                n = np.cross(edges[:, 0], edges[:, 1])
+            n = n / np.linalg.norm(n, axis=1, keepdims=True)
+            opp = verts[cells[cellids, locfaces]]                 # (F, dim)
+            flip = np.einsum("fd,fd->f", n, A[:, 0] - opp) < 0
+            n[flip] *= -1.0
+            x = np.einsum("qj,fjd->fqd", lam, A)
+            return canon, pos, dens, n, x
+
+        def tabs_for(pts_ref, cellids):
+            out = []
+            for lf in self.leaves:
+                vals, gref = lf.fem.tabulate(pts_ref)
+                gphys = np.einsum("fij,qbj->fqbi", jacT[cellids], gref)
+                out.append((vals, gphys, gref, lf.fem.degree,
+                            None, None, None))
+            return out
+
+        if self.has["alpha_boundary"] or self.has["lambda_boundary"]:
+            bf = mesh.boundary_faces()
+            cellids, locfaces = bf["element"], bf["local_face"]
+            _, pos, dens, n, x = face_geometry(cellids, locfaces)
+            _, inv = np.unique(pos, axis=0, return_inverse=True)
+            for ci in range(inv.max() + 1 if len(cellids) else 0):
+                sel = np.nonzero(inv == ci)[0]
+                e_sel = cellids[sel]
+                pts = lam @ ref_corners[pos[sel[0]]]
+                g = _FaceGroupData()
+                g.axis, g.side = None, None
+                g.elements = e_sel
+                g.outside = None
+                g.leaf_dofs_in = [m[e_sel] for m in leaf_maps]
+                g.leaf_dofs_out = None
+                g.tr_in = [IndexFaceTransfer(a) for a in g.leaf_dofs_in]
+                g.tr_out = None
+                g.tabs_in = tabs_for(pts, e_sel)
+                g.tabs_out = None
+                g.factor = wf[None, :] * dens[sel][:, None]
+                g.normal = n[sel][:, None, :]                     # (F, 1, d)
+                g.h_in = cellvol[e_sel] / (dens[sel] * ref_face_vol)
+                g.h_out = None
+                g.weights = wf
+                g.x = x[sel]
+                self.bnd_groups.append(g)
+
+        if self.has["alpha_skeleton"]:
+            itf = mesh.interior_faces()
+            cin, fin = itf["inside"], itf["face_in"]
+            cout, fout = itf["outside"], itf["face_out"]
+            _, pos_i, dens, n, x = face_geometry(cin, fin)
+            _, pos_o, _, _, _ = face_geometry(cout, fout)
+            _, inv = np.unique(np.concatenate([pos_i, pos_o], axis=1),
+                               axis=0, return_inverse=True)
+            for ci in range(inv.max() + 1 if len(cin) else 0):
+                sel = np.nonzero(inv == ci)[0]
+                ei, eo = cin[sel], cout[sel]
+                pts_in = lam @ ref_corners[pos_i[sel[0]]]
+                pts_out = lam @ ref_corners[pos_o[sel[0]]]
+                g = _FaceGroupData()
+                g.axis, g.side = None, None
+                g.elements = ei
+                g.outside = eo
+                g.leaf_dofs_in = [m[ei] for m in leaf_maps]
+                g.leaf_dofs_out = [m[eo] for m in leaf_maps]
+                g.tr_in = [IndexFaceTransfer(a) for a in g.leaf_dofs_in]
+                g.tr_out = [IndexFaceTransfer(a) for a in g.leaf_dofs_out]
+                g.tabs_in = tabs_for(pts_in, ei)
+                g.tabs_out = tabs_for(pts_out, eo)
+                g.factor = wf[None, :] * dens[sel][:, None]
+                g.normal = n[sel][:, None, :]
+                fmeas = dens[sel] * ref_face_vol
+                g.h_in = cellvol[ei] / fmeas
+                g.h_out = cellvol[eo] / fmeas
+                g.weights = wf
+                g.x = x[sel]
+                self.skel_groups.append(g)
 
     # ------------------------------------------------------------------
     # in-trace context construction

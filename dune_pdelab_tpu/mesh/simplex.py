@@ -91,6 +91,63 @@ class SimplexMesh:
             self._edge_pairs = pairs
         return self._edges
 
+    def faces(self):
+        """Unique codim-1 faces.
+
+        Returns (unique_faces (NF, dim) sorted global vertex tuples,
+        face_of (E, dim+1) face id of local face l — the face OPPOSITE local
+        vertex l — and counts (NF,) number of adjacent cells). The analog of
+        the reference's intersection iteration setup (reference:
+        dune/pdelab/gridoperator/common/assemblerutilities.hh intersection
+        sweep; faces materialized once here instead of per-sweep)."""
+        if getattr(self, "_faces", None) is None:
+            d = self.dim
+            locs = [[v for v in range(d + 1) if v != l] for l in range(d + 1)]
+            raw = np.stack([self.cells[:, lv] for lv in locs], axis=1)
+            key = np.sort(raw, axis=2)                 # (E, d+1, d)
+            flat = key.reshape(-1, d)
+            uniq, inv, counts = np.unique(
+                flat, axis=0, return_inverse=True, return_counts=True)
+            self._faces = (uniq, inv.reshape(self.nelements, d + 1), counts)
+            self._face_locs = locs
+        return self._faces
+
+    def interior_faces(self):
+        """dict of arrays: inside/outside cell ids and their local face ids
+        for every interior (2-cell) face. inside = lower cell id."""
+        uniq, face_of, counts = self.faces()
+        d = self.dim
+        nf = len(uniq)
+        # (cell, local) pairs per face id
+        order = np.argsort(face_of.ravel(), kind="stable")
+        cells_flat = order // (d + 1)
+        locs_flat = order % (d + 1)
+        starts = np.searchsorted(face_of.ravel()[order], np.arange(nf))
+        interior = np.nonzero(counts == 2)[0]
+        a = starts[interior]
+        return {
+            "face": interior,
+            "inside": cells_flat[a],
+            "face_in": locs_flat[a],
+            "outside": cells_flat[a + 1],
+            "face_out": locs_flat[a + 1],
+        }
+
+    def boundary_faces(self):
+        """dict of arrays: cell id + local face id of every boundary face."""
+        uniq, face_of, counts = self.faces()
+        d = self.dim
+        nf = len(uniq)
+        order = np.argsort(face_of.ravel(), kind="stable")
+        starts = np.searchsorted(face_of.ravel()[order], np.arange(nf))
+        boundary = np.nonzero(counts == 1)[0]
+        a = starts[boundary]
+        return {
+            "face": boundary,
+            "element": order[a] // (d + 1),
+            "local_face": order[a] % (d + 1),
+        }
+
     def boundary_vertex_mask(self) -> np.ndarray:
         if self._boundary_vertices is not None:
             return self._boundary_vertices
