@@ -1,0 +1,37 @@
+"""Reference-parity oracles: the five BASELINE configs pinned against
+recorded golden numbers (tests/golden_parity.json, recorded fp64/CPU by
+tools/record_golden.py). Fails when solver semantics drift — the
+iteration-parity discipline of the reference's matrix-free oracle
+(/root/reference/dune/pdelab/test/matrixfree/matrix_free_linear.cc:4-8)
+applied to the whole config suite. Iteration counts must match EXACTLY;
+errors to 1e-8 relative (fp64 determinism)."""
+import json
+import pathlib
+
+import pytest
+
+from dune_pdelab_tpu.models import configs
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "golden_parity.json").read_text())
+
+_ITER_KEYS = ("iterations", "newton_iterations", "levels")
+_CONFIGS = {
+    "config1_poisson_2d_mf": configs.config1_poisson_2d_mf,
+    "config2_poisson_3d_gmg": configs.config2_poisson_3d_gmg,
+    "config3_convdiff_sipg": configs.config3_convdiff_sipg,
+    "config4_heat_theta_newton": configs.config4_heat_theta_newton,
+    "config5_stokes_taylor_hood": configs.config5_stokes_taylor_hood,
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_config_parity(name):
+    got = _CONFIGS[name]()
+    want = GOLDEN[name]
+    for key, ref in want.items():
+        val = float(got[key])
+        if key in _ITER_KEYS or key in ("converged", "ndofs"):
+            assert int(round(val)) == int(round(ref)), (name, key, val, ref)
+        else:
+            assert val == pytest.approx(ref, rel=1e-8), (name, key, val, ref)
