@@ -152,3 +152,36 @@ def test_face_slab_transfer_matches_index_path():
         r1 = go_fast.residual(x)
         r2 = go_idx.residual(x)
         assert float(jnp.linalg.norm(r1 - r2)) < 1e-12, periodic
+
+
+def test_sipg_full_tensor_adjoint_consistency():
+    """Full (non-diagonal) diffusion tensor A: SIPG stays adjoint-consistent
+    only with the EXACT {A grad v}·n symmetrization term
+    (convectiondiffusiondg.hh:319-331); the n·An projection loses an order.
+    Oracle: L2 order ~ k+1 for k=2."""
+    class Aniso(ConvectionDiffusionProblem):
+        def A(self, x):
+            A = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+            return jnp.broadcast_to(A, x.shape[:-1] + (2, 2))
+
+        def exact(self, p):
+            return np.sin(np.pi * p[:, 0]) * np.cos(2 * np.pi * p[:, 1]) \
+                + p[:, 0]
+
+        def f(self, x):
+            s = jnp.sin(np.pi * x[..., 0]) * jnp.cos(2 * np.pi * x[..., 1])
+            c = jnp.cos(np.pi * x[..., 0]) * jnp.sin(2 * np.pi * x[..., 1])
+            return 6 * np.pi**2 * s + 2 * np.pi**2 * c
+
+        def g(self, x):
+            return jnp.sin(np.pi * x[..., 0]) * jnp.cos(2 * np.pi * x[..., 1]) \
+                + x[..., 0]
+
+    p = Aniso()
+    errs = []
+    for n in (8, 16, 32):
+        V, x, slp = _solve_dg(p, n, 2)
+        assert slp.result.converged
+        errs.append(float(l2_difference(V, x, p.exact)))
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    assert orders[-1] > 2.7, (errs, orders)
