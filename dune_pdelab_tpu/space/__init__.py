@@ -1,3 +1,3 @@
 from dune_pdelab_tpu.space.space import (
-    FunctionSpace, CompositeSpace, PowerSpace, VectorSpace,
+    FunctionSpace, CompositeSpace, PowerSpace, VectorSpace, PermutedSpace,
 )

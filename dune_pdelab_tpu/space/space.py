@@ -387,7 +387,8 @@ class CompositeSpace:
 
     is_leaf = False
 
-    def __init__(self, *children, ordering: str = "lexicographic", name: str = ""):
+    def __init__(self, *children, ordering: str = "lexicographic",
+                 name: str = "", chunk: int | None = None):
         assert children
         self.children = tuple(children)
         self.ordering = ordering
@@ -397,12 +398,38 @@ class CompositeSpace:
         if ordering == "lexicographic":
             offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
             self._child_offset = offs.astype(np.int64)
-        elif ordering == "interleaved":
+        elif ordering in ("interleaved", "entity_blocked"):
+            # entity_blocked (reference: ordering/entityblockedlocalordering
+            # .hh:33,155): per-entity blocks of the children's dofs. In the
+            # flat-array layout with identical children this coincides with
+            # per-dof interleaving — each lattice entity slot carries one dof
+            # of every child contiguously.
             if len(set(sizes)) != 1:
-                raise ValueError("interleaved ordering needs equal-size children")
+                raise ValueError(f"{ordering} ordering needs equal-size "
+                                 "children")
+            if ordering == "entity_blocked":
+                meshes = {id(lf.mesh) for c in self.children
+                          for lf in c.leaves}
+                if len(meshes) != 1:
+                    raise ValueError("entity_blocked needs one shared mesh")
             self._child_offset = None
         else:
             raise ValueError(f"unknown ordering {ordering!r}")
+        # chunked block descriptor (reference: ordering/chunkedblockordering
+        # .hh:112): declares a uniform block size over the flat index space,
+        # consumed by blocked backends (block views, blocked preconditioners)
+        self.chunk = chunk
+        if chunk is not None:
+            if self.ndofs % chunk:
+                raise ValueError(
+                    f"chunk size {chunk} does not divide ndofs {self.ndofs}")
+            self.nchunks = self.ndofs // chunk
+
+    def block_view(self, x):
+        """(nchunks, chunk) view of a flat vector (chunked descriptor)."""
+        if self.chunk is None:
+            raise ValueError("space has no chunked blocking descriptor")
+        return x.reshape(self.nchunks, self.chunk)
 
     @property
     def nchildren(self):
@@ -470,6 +497,42 @@ class CompositeSpace:
     def __repr__(self):
         return (f"CompositeSpace({', '.join(map(repr, self.children))}, "
                 f"ordering={self.ordering!r})")
+
+
+class PermutedSpace(CompositeSpace):
+    """Permuted ordering wrapper (reference: dune/pdelab/ordering/
+    permutedordering.hh): global index = perm[inner index] for any bijection
+    perm on [0, ndofs). Composes with any inner space (leaf, composite,
+    power); assembly, constraints, and solves all see the permuted layout —
+    use for bandwidth-reducing or backend-specific DOF orders."""
+
+    def __init__(self, child, perm, name: str = ""):
+        super().__init__(child, ordering="lexicographic", name=name)
+        perm = np.asarray(perm, dtype=np.int64)
+        if perm.shape != (child.ndofs,):
+            raise ValueError("perm must have one entry per dof")
+        self.perm = perm
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int64)
+        self.inv_perm = inv
+
+    def child_global(self, i: int, child_dofs):
+        return self.perm[np.asarray(child_dofs, dtype=np.int64)]
+
+    def restrict(self, x, i: int = 0):
+        """Inner-ordered view of the permuted flat vector."""
+        return x[jnp.asarray(self.perm)]
+
+    def embed(self, x, i: int, xc):
+        return x.at[jnp.asarray(self.perm)].set(xc)
+
+    def interpolate(self, f, dtype=None):
+        xc = self.children[0].interpolate(f, dtype=dtype)
+        return jnp.zeros(self.ndofs, xc.dtype).at[
+            jnp.asarray(self.perm)].set(xc)
+
+    def __repr__(self):
+        return f"PermutedSpace({self.children[0]!r})"
 
 
 class PowerSpace(CompositeSpace):
