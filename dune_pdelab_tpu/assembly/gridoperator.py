@@ -237,7 +237,10 @@ class GridOperator:
         fem = lf.fem
         if fem.continuity == "Hdiv":
             if not self.mesh.uniform:
-                raise NotImplementedError("H(div) on mapped meshes")
+                if self.mesh.geometry_type != "simplex":
+                    raise NotImplementedError("H(div) on mapped cube meshes")
+                vecs, divs = self._simplex_piola(lf, pts_ref)
+                return (None, None, None, fem.degree, vecs, divs, None)
             h = self.mesh.h
             detJ = float(np.prod(h))
             vecs = fem.tabulate_vector(pts_ref) * (h / detJ)  # contravariant
@@ -261,6 +264,28 @@ class GridOperator:
         else:
             gphys = (grads / self.mesh.h)[None]
         return (vals, gphys, grads, fem.degree, None, None, None)
+
+    def _simplex_piola(self, lf, pts_ref, elements=None):
+        """Per-element contravariant Piola tabulation on affine simplices:
+        vec (E, nqp, nb, d) = sign * J v_ref / det J, div (E, nqp, nb) =
+        sign * div_ref / det J. Signs are the space layer's global-normal
+        orientation (space/space.py _build_hdiv_map_simplex)."""
+        fem = lf.fem
+        cc = self.mesh.element_corner_coords()
+        if elements is not None:
+            cc = cc[elements]
+        # P1 node order (0,0),(0,1),(1,0): J columns [V2-V0 | V1-V0]
+        J = np.stack([cc[:, 2] - cc[:, 0], cc[:, 1] - cc[:, 0]], axis=-1)
+        detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        signs = lf._hdiv_signs
+        if elements is not None:
+            signs = signs[elements]
+        v_ref = fem.tabulate_vector(pts_ref)          # (q, nb, d)
+        d_ref = fem.tabulate_div(pts_ref)             # (q, nb)
+        vec = (np.einsum("eij,qbj->eqbi", J, v_ref)
+               / detJ[:, None, None, None] * signs[:, None, :, None])
+        div = d_ref[None] / detJ[:, None, None] * signs[:, None, :]
+        return vec, div
 
     def _tab_at(self, pts_ref, geo: FaceGeometry):
         """Per-leaf raw tabs at embedded face points (uniform geometry)."""
@@ -352,9 +377,9 @@ class GridOperator:
         mesh = self.mesh
         dim = mesh.dim
         for lf in self.leaves:
-            if lf.fem.continuity in ("Hdiv", "Hcurl"):
+            if lf.fem.continuity == "Hcurl":
                 raise NotImplementedError(
-                    "simplex face integrals for vector elements")
+                    "simplex face integrals for H(curl) elements")
         qpf, wf = quadrature_rule("simplex", dim - 1, self.qorder)
         lam = np.concatenate(
             [1.0 - qpf.sum(axis=1, keepdims=True), qpf], axis=1)  # (nqp, d)
@@ -394,6 +419,12 @@ class GridOperator:
         def tabs_for(pts_ref, cellids):
             out = []
             for lf in self.leaves:
+                if lf.fem.continuity == "Hdiv":
+                    vec, dv = self._simplex_piola(lf, pts_ref,
+                                                  elements=cellids)
+                    out.append((None, None, None, lf.fem.degree,
+                                vec, dv, None))
+                    continue
                 vals, gref = lf.fem.tabulate(pts_ref)
                 gphys = np.einsum("fij,qbj->fqbi", jacT[cellids], gref)
                 out.append((vals, gphys, gref, lf.fem.degree,

@@ -165,6 +165,106 @@ class BDM1Cube(VectorFiniteElement):
         return 2
 
 
+class RT0Simplex2D(VectorFiniteElement):
+    """Lowest-order Raviart-Thomas on the reference triangle (reference:
+    dune/pdelab/finiteelementmap/rt0simplex2dfem.hh).
+
+    Reference triangle = the P1 geometry convention v0=(0,0), v1=(0,1),
+    v2=(1,0). One dof per edge: the TOTAL outward normal flux. Local edge l
+    is opposite vertex l (matching SimplexMesh.faces()); the basis is
+    psi_l(x) = x - v_l, which has unit outward flux through edge l and zero
+    through the others. Orientation to a global normal is a per-element
+    diagonal sign, supplied by the space layer (space/space.py
+    _build_hdiv_map simplex branch)."""
+
+    geometry = "simplex"
+    degree = 1
+    ndofs_per_face = 1
+
+    def __init__(self, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("RT0Simplex: 2D only")
+        self.dim = 2
+        self.nbasis = 3
+        self._verts = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        return points[:, None, :] - self._verts[None, :, :]
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        return np.full((len(points), 3), 2.0)
+
+
+class BDM1Simplex2D(VectorFiniteElement):
+    """Brezzi-Douglas-Marini order 1 on the reference triangle (reference:
+    dune/pdelab/finiteelementmap/bdm1simplex2dfem.hh).
+
+    Space = P1^2 (6 dofs): per edge, moments of the outward normal trace
+    against {1, 2t-1}, t running from the lower- to the higher-LOCAL-index
+    vertex of the edge. The odd moment flips sign under tangent reversal,
+    so the space layer's global orientation uses the (sigma, sigma*tau)
+    diagonal signs per edge."""
+
+    geometry = "simplex"
+    degree = 1
+    ndofs_per_face = 2
+
+    def __init__(self, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("BDM1Simplex: 2D only")
+        self.dim = 2
+        self.nbasis = 6
+        self._verts = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+        # P1^2 monomials: (1,0),(x,0),(y,0),(0,1),(0,x),(0,y)
+        self._C = np.linalg.inv(self._dof_matrix())
+
+    @staticmethod
+    def _raw(points):
+        x, y = points[:, 0], points[:, 1]
+        n = len(points)
+        vals = np.zeros((n, 6, 2))
+        vals[:, 0, 0] = 1.0
+        vals[:, 1, 0] = x
+        vals[:, 2, 0] = y
+        vals[:, 3, 1] = 1.0
+        vals[:, 4, 1] = x
+        vals[:, 5, 1] = y
+        divs = np.zeros((n, 6))
+        divs[:, 1] = 1.0
+        divs[:, 5] = 1.0
+        return vals, divs
+
+    def _dof_matrix(self):
+        from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+        xq, wq = gauss_legendre(5)
+        # edge l opposite vertex l; endpoints by ascending local index
+        edges = [(1, 2), (0, 2), (0, 1)]
+        normals = np.array([[1.0, 1.0] / np.sqrt(2.0),
+                            [0.0, -1.0], [-1.0, 0.0]])
+        M = np.zeros((6, 6))
+        for l, (a, b) in enumerate(edges):
+            va, vb = self._verts[a], self._verts[b]
+            elen = np.linalg.norm(vb - va)
+            pts = va[None] + xq[:, None] * (vb - va)[None]
+            raw, _ = self._raw(pts)
+            vn = raw @ normals[l]                  # (nq, 6)
+            M[2 * l] = (wq * elen) @ vn
+            M[2 * l + 1] = (wq * elen * (2 * xq - 1)) @ vn
+        return M
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        raw, _ = self._raw(points)
+        return np.einsum("pjd,jb->pbd", raw, self._C)
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        _, divs = self._raw(points)
+        return divs @ self._C
+
+
 class RT1Cube2D(VectorFiniteElement):
     """Raviart-Thomas order 1 on the reference square (reference:
     dune/pdelab/finiteelementmap/rt1cube2dfem.hh).

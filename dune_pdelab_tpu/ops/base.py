@@ -181,25 +181,36 @@ class LocalOperator:
             return jnp.einsum("qbd,eqd->eb", tab.grad[0], wv)
         return jnp.einsum("eqbd,eqd->eb", tab.grad, wv)
 
-    # -- H(div) vector-element helpers --------------------------------------
+    # -- H(div) vector-element helpers ---------------------------------------
+    # vec_phi/div may carry a leading element axis (affine simplex Piola):
+    # (E, nqp, nb, d) / (E, nqp, nb) instead of the shared uniform-mesh form.
     @staticmethod
     def hdiv_value_at_qp(tab: LeafTab, u):
         """vector value of an H(div) field: (E, nloc) -> (E, nqp, dim)."""
+        if tab.vec_phi.ndim == 4:
+            return jnp.einsum("eqbd,eb->eqd", tab.vec_phi, u)
         return jnp.einsum("qbd,eb->eqd", tab.vec_phi, u)
 
     @staticmethod
     def div_at_qp(tab: LeafTab, u):
         """divergence of an H(div) field: (E, nloc) -> (E, nqp)."""
+        if tab.div.ndim == 3:
+            return jnp.einsum("eqb,eb->eq", tab.div, u)
         return jnp.einsum("qb,eb->eq", tab.div, u)
 
     @staticmethod
     def accumulate_hdiv(tab: LeafTab, factor, wvec):
         """sum_q wvec(E,nqp,dim) . phi_i * factor -> (E, nloc)."""
-        return jnp.einsum("qbd,eqd->eb", tab.vec_phi, wvec * factor[..., None])
+        wv = wvec * factor[..., None]
+        if tab.vec_phi.ndim == 4:
+            return jnp.einsum("eqbd,eqd->eb", tab.vec_phi, wv)
+        return jnp.einsum("qbd,eqd->eb", tab.vec_phi, wv)
 
     @staticmethod
     def accumulate_div(tab: LeafTab, factor, w):
         """sum_q w(E,nqp) * div phi_i * factor -> (E, nloc)."""
+        if tab.div.ndim == 3:
+            return jnp.einsum("eqb,eq->eb", tab.div, w * factor)
         return jnp.einsum("qb,eq->eb", tab.div, w * factor)
 
     # -- H(curl) edge-element helpers ---------------------------------------

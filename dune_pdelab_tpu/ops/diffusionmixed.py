@@ -57,7 +57,7 @@ class DiffusionMixed(LocalOperator):
             jnp.asarray(self.problem.f(ctx.x), ctx.factor.dtype),
             ctx.x.shape[:-1])
         r_p = self.accumulate_value(tab_p, ctx.factor, f)
-        r_u = jnp.zeros((ctx.x.shape[0], tab_u.vec_phi.shape[1]),
+        r_u = jnp.zeros((ctx.x.shape[0], tab_u.vec_phi.shape[-2]),
                         ctx.factor.dtype)
         return r_u, r_p
 
@@ -66,8 +66,16 @@ class DiffusionMixed(LocalOperator):
         g = jnp.broadcast_to(
             jnp.asarray(self.problem.g(ctx.x), ctx.factor.dtype),
             ctx.x.shape[:-1])
-        vn = jnp.einsum("qbd,d->qb", tab_u.vec_phi, ctx.normal)
-        r_u = jnp.einsum("qb,eq->eb", vn, g * ctx.factor)
-        r_p = jnp.zeros((ctx.x.shape[0], tab_p.phi.shape[1]),
+        if tab_u.vec_phi.ndim == 4 or ctx.normal.ndim > 1:
+            vp = (tab_u.vec_phi if tab_u.vec_phi.ndim == 4
+                  else tab_u.vec_phi[None])
+            n = (ctx.normal if ctx.normal.ndim > 1
+                 else ctx.normal[None, None])
+            vn = (vp * n[:, :, None, :]).sum(-1)       # (F, nqp, nb)
+            r_u = jnp.einsum("fqb,fq->fb", vn, g * ctx.factor)
+        else:
+            vn = jnp.einsum("qbd,d->qb", tab_u.vec_phi, ctx.normal)
+            r_u = jnp.einsum("qb,eq->eb", vn, g * ctx.factor)
+        r_p = jnp.zeros((ctx.x.shape[0], tab_p.phi.shape[-1]),
                         ctx.factor.dtype)
         return r_u, r_p

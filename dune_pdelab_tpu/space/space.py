@@ -180,11 +180,21 @@ class FunctionSpace:
         return _leaf_boundary_dof_mask(self)
 
     def _build_hdiv_map(self):
-        """Face-based DOF map for H(div) elements (RT/BDM on cubes):
-        global faces per axis with lexicographic numbering; element local
-        dofs ordered (axis, side[, moment]) to match the element basis."""
+        """Face-based DOF map for H(div) elements:
+
+        * cubes (RT/BDM): global faces per axis with lexicographic
+          numbering; element local dofs ordered (axis, side[, moment]);
+        * simplices (RT0/BDM1): dofs on the unique-face list of
+          SimplexMesh.faces(); global orientation = the outward normal of
+          each face's first-occurrence owner cell, encoded as per-element
+          diagonal signs in self._hdiv_signs (sigma for even moments,
+          sigma*tau for tangent-odd moments; sign(det J) folded in —
+          the RT0Constraints orientation analog, reference:
+          dune/pdelab/constraints/raviartthomas0.hh)."""
         mesh, fem = self.mesh, self.fem
         dim = mesh.dim
+        if mesh.geometry_type == "simplex":
+            return self._build_hdiv_map_simplex()
         m = getattr(fem, "ndofs_per_face", 1)
         emi = mesh.element_multi_index()                  # (E, dim)
         offsets = []
@@ -218,6 +228,44 @@ class FunctionSpace:
             eidx = np.arange(mesh.nelements, dtype=np.int64)
             for k in range(ni):
                 cols.append(off + eidx * ni + k)
+        return np.stack(cols, axis=1)
+
+    def _build_hdiv_map_simplex(self):
+        mesh, fem = self.mesh, self.fem
+        m = getattr(fem, "ndofs_per_face", 1)
+        uniq, face_of, counts = mesh.faces()
+        E = mesh.nelements
+        d1 = mesh.dim + 1
+        # first-occurrence owner of each unique face (same rule as
+        # SimplexMesh.interior_faces "inside")
+        flat = face_of.ravel()
+        order = np.argsort(flat, kind="stable")
+        starts = np.searchsorted(flat[order], np.arange(len(uniq)))
+        owner_cell = order[starts] // d1
+        owner_loc = order[starts] % d1
+        # signs: sigma = +1 iff (e, l) is the owner pair; tau from the
+        # global ids of the edge endpoints (ascending-local-index order);
+        # fold in sign(det J) of the affine map (Piola flux parity)
+        locs = np.array([[v for v in range(d1) if v != l] for l in range(d1)])
+        cc = mesh.element_corner_coords()
+        if mesh.dim != 2:
+            raise NotImplementedError("simplex H(div): 2D only")
+        J0 = cc[:, 2] - cc[:, 0]        # d x / d xi_0  (P1 node order)
+        J1 = cc[:, 1] - cc[:, 0]
+        sdet = np.sign(J0[:, 0] * J1[:, 1] - J0[:, 1] * J1[:, 0])
+        cols = []
+        signs = []
+        eidx = np.arange(E)
+        for l in range(d1):
+            fid = face_of[:, l]
+            sigma = np.where((owner_cell[fid] == eidx)
+                             & (owner_loc[fid] == l), 1.0, -1.0) * sdet
+            la, lb = locs[l]
+            tau = np.where(mesh.cells[:, la] < mesh.cells[:, lb], 1.0, -1.0)
+            for k in range(m):
+                cols.append(fid * m + k)
+                signs.append(sigma if k % 2 == 0 else sigma * tau)
+        self._hdiv_signs = np.stack(signs, axis=1)   # (E, nbasis)
         return np.stack(cols, axis=1)
 
     def _build_hcurl_map(self):
