@@ -277,6 +277,20 @@ def SEQ_BCGS_Jacobi(**kw):
 def SEQ_GMRES_Jacobi(**kw):
     return LinearSolverBackend(solver="gmres", precond="jacobi", **kw)
 
+def SEQ_CG_ILU0(**kw):
+    """ISTLBackend_SEQ_CG_ILU0 analog: CG with the fine-grained parallel
+    lattice ILU(0) (linalg/ilu.py; needs a single-leaf C0 Qk space)."""
+    from dune_pdelab_tpu.linalg.ilu import ilu0_preconditioner
+    return LinearSolverBackend(solver="cg", precond=ilu0_preconditioner, **kw)
+
+
+def SEQ_BCGS_ILU0(**kw):
+    """ISTLBackend_SEQ_BCGS_ILU0 analog."""
+    from dune_pdelab_tpu.linalg.ilu import ilu0_preconditioner
+    return LinearSolverBackend(solver="bicgstab", precond=ilu0_preconditioner,
+                               **kw)
+
+
 def MatrixFree_CG_Richardson(**kw):
     """ISTLBackend_SEQ_MatrixFree_Richardson analog (matrixfree/backends.hh)."""
     return LinearSolverBackend(solver="cg", precond="richardson", **kw)
