@@ -252,3 +252,43 @@ def test_comm_policies():
     mask = jnp.arange(16) % 2 == 0
     md = masked_dot(data, data, mask)
     assert np.isclose(float(md), float((data[::2] ** 2).sum()))
+
+
+def test_partition_weighted():
+    """Prefix-sum load balancing: skewed costs end up near-balanced, equal
+    costs reproduce equal slabs (loadbalance.hh policy analog)."""
+    from dune_pdelab_tpu.parallel.loadbalance import (
+        partition_weighted, imbalance,
+    )
+    w = np.ones(100)
+    r = partition_weighted(w, 4)
+    assert r == [(0, 25), (25, 50), (50, 75), (75, 100)]
+    # quadratic cost skew: equal-count slabs would be 1.75x imbalanced
+    w2 = (np.arange(100) + 1.0) ** 2
+    r2 = partition_weighted(w2, 4)
+    assert imbalance(r2, w2) < 1.15
+    eq = [(0, 25), (25, 50), (50, 75), (75, 100)]
+    assert imbalance(eq, w2) > 1.5
+
+
+def test_rebalance_mid_solve():
+    """Redistribute a DOF-sharded CG state onto a different device mesh and
+    continue: final solution matches the uninterrupted sequential solve
+    (loadBalance(grid, gfs, x) analog)."""
+    from dune_pdelab_tpu.parallel.dofsharded import (
+        DofShardedStencil, sharded_cg_solve,
+    )
+    from dune_pdelab_tpu.parallel.loadbalance import rebalance, redistribute
+
+    V, go, st = _stencil_setup((12, 12, 12), 1)
+    b = go.residual(V.zero())
+    d = go.jacobian_diagonal(V.zero())
+    x_ref, s_ref = cg(lambda q: st(q), b, M=lambda r: r / d, tol=1e-11)
+
+    src = DofShardedStencil(st, devices=jax.devices()[:4])
+    x_half, _ = sharded_cg_solve(src, b, diag=d, tol=0.0, maxiter=10)
+    dst = rebalance(src, devices=jax.devices()[:8], mesh_shape=(4, 2))
+    xg = redistribute(src.device_put(x_half), src, dst)
+    x_fin, s_fin = sharded_cg_solve(dst, b, diag=d, tol=1e-11,
+                                    x0=xg)
+    assert float(jnp.linalg.norm(x_fin - x_ref)) < 1e-8
