@@ -150,6 +150,51 @@ def assemble_ell(go, x_lin=None, time=0.0):
 
 # -- Pallas tiled SpMV -------------------------------------------------------
 
+def ell_to_csr(ell: EllMatrix):
+    """Convert to scipy.sparse CSR (host-side consumers: GenEO subdomain
+    extraction, direct solvers, inspection). Masked (Dirichlet) rows become
+    identity rows."""
+    import scipy.sparse as sp
+
+    dims = ell.dims
+    dim = len(dims)
+    N = int(np.prod(dims))
+    grid_shape = ell.grid_shape
+    vals = np.asarray(ell.values)
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(1, dim):
+        strides[d] = strides[d - 1] * dims[d - 1]
+    rows_parts, cols_parts, data_parts = [], [], []
+    mask = (np.asarray(ell.mask).reshape(-1) if ell.mask is not None
+            else np.zeros(N, bool))
+    # lattice multi-index of every row, grid-axis order reversed to dim0
+    g = np.arange(N, dtype=np.int64)
+    mi = np.empty((N, dim), dtype=np.int64)
+    for d in range(dim):
+        mi[:, d] = g % dims[d]
+        g = g // dims[d]
+    for t in range(ell.offsets.shape[0]):
+        off = ell.offsets[t]
+        tgt = mi + off[None, :]
+        valid = np.all((tgt >= 0) & (tgt < np.asarray(dims)[None, :]), axis=1)
+        valid &= ~mask
+        v = vals[t].reshape(-1)
+        valid &= v != 0.0
+        rows_parts.append(np.nonzero(valid)[0])
+        cols_parts.append((tgt[valid] * strides[None, :]).sum(axis=1))
+        data_parts.append(v[valid])
+    # identity on masked rows
+    mrows = np.nonzero(mask)[0]
+    rows_parts.append(mrows)
+    cols_parts.append(mrows)
+    data_parts.append(np.ones(len(mrows)))
+    A = sp.csr_matrix(
+        (np.concatenate(data_parts),
+         (np.concatenate(rows_parts), np.concatenate(cols_parts))),
+        shape=(N, N))
+    return A
+
+
 def build_tiled_ell_apply(dims, offsets, values, row_block=128,
                           interpret=False):
     """Tiled Pallas lowering of the ELL SpMV for 3D k=1 lattices with

@@ -23,9 +23,60 @@ import jax
 import jax.numpy as jnp
 
 
+def lattice_box_subdomains(grid_shape, nsub_axes, overlap: int,
+                           pou: str = "linear"):
+    """Overlapping BOX subdomains of a DOF lattice with a product-hat
+    partition of unity — true mesh subdomains (the reference's
+    rank-subdomain geometry, partitionofunity.hh), replacing the round-1
+    1D index slabs. grid_shape is slowest-axis-first; returns
+    (idx_list, chi_list) of flat index arrays / PU weights."""
+    dim = len(grid_shape)
+    nsub_axes = tuple(nsub_axes)
+    assert len(nsub_axes) == dim
+    # per-axis overlapping ranges + 1D hats
+    ax_ranges, ax_hats = [], []
+    for n, ns in zip(grid_shape, nsub_axes):
+        base = n // ns
+        rngs, hats = [], []
+        for i in range(ns):
+            lo = max(0, i * base - overlap)
+            hi = min(n, ((i + 1) * base if i < ns - 1 else n) + overlap)
+            idx = np.arange(lo, hi)
+            chi = np.ones(len(idx))
+            if pou == "linear":
+                core_lo, core_hi = i * base, ((i + 1) * base if i < ns - 1
+                                              else n)
+                below = idx < core_lo
+                above = idx >= core_hi
+                chi[below] = 1.0 - (core_lo - idx[below]) / (overlap + 1.0)
+                chi[above] = 1.0 - (idx[above] - core_hi + 1) / (overlap + 1.0)
+            rngs.append(idx)
+            hats.append(chi)
+        ax_ranges.append(rngs)
+        ax_hats.append(hats)
+    # strides of the flat C-order index (grid_shape is the array shape)
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * grid_shape[d + 1]
+    import itertools as it
+    idx_list, chi_list = [], []
+    for combo in it.product(*[range(ns) for ns in nsub_axes]):
+        idxs = [ax_ranges[d][combo[d]] for d in range(dim)]
+        hats = [ax_hats[d][combo[d]] for d in range(dim)]
+        flat = np.zeros((1,), dtype=np.int64)
+        chi = np.ones((1,))
+        for d in range(dim):
+            flat = (flat[:, None] + (idxs[d] * strides[d])[None, :]).ravel()
+            chi = (chi[:, None] * hats[d][None, :]).ravel()
+        idx_list.append(flat)
+        chi_list.append(chi)
+    return idx_list, chi_list
+
+
 class GenEOPreconditioner:
-    def __init__(self, A_dense, nsub: int, overlap: int, nev: int = 3,
-                 pou: str = "linear", neumann: str = "rowsum"):
+    def __init__(self, A_dense, nsub: int = 0, overlap: int = 1, nev: int = 3,
+                 pou: str = "linear", neumann: str = "rowsum",
+                 subdomains=None):
         """A_dense: (N, N) assembled operator (jnp or numpy); nsub equal
         overlapping index slabs with `overlap` extra indices each side;
         nev eigenvectors per subdomain feed the coarse space.
@@ -38,26 +89,35 @@ class GenEOPreconditioner:
                     makes iteration counts independent of subdomain count),
           'dirichlet': plain submatrix (no kernel modes; NOT scalable).
         """
-        A = np.asarray(A_dense)
+        import scipy.sparse as sp
+        sparse = sp.issparse(A_dense)
+        A = A_dense.tocsr() if sparse else np.asarray(A_dense)
         N = A.shape[0]
-        base = N // nsub
-        assert base * nsub == N, "N must be divisible by nsub"
         self.N = N
-        idx_list, chi_list = [], []
-        for i in range(nsub):
-            lo = max(0, i * base - overlap)
-            hi = min(N, (i + 1) * base + overlap)
-            idx = np.arange(lo, hi)
-            # linear partition-of-unity hat over the overlap region
-            chi = np.ones(len(idx))
-            if pou == "linear":
-                for j, g in enumerate(idx):
-                    if g < i * base:
-                        chi[j] = 1.0 - (i * base - g) / (overlap + 1.0)
-                    elif g >= (i + 1) * base:
-                        chi[j] = 1.0 - (g - (i + 1) * base + 1) / (overlap + 1.0)
-            idx_list.append(idx)
-            chi_list.append(chi)
+        if subdomains is not None:
+            # explicit mesh subdomains (e.g. lattice_box_subdomains)
+            idx_list, chi_list = subdomains
+            idx_list = [np.asarray(ix, np.int64) for ix in idx_list]
+            chi_list = [np.asarray(c, np.float64) for c in chi_list]
+            nsub = len(idx_list)
+        else:
+            base = N // nsub
+            assert base * nsub == N, "N must be divisible by nsub"
+            idx_list, chi_list = [], []
+            for i in range(nsub):
+                lo = max(0, i * base - overlap)
+                hi = min(N, (i + 1) * base + overlap)
+                idx = np.arange(lo, hi)
+                # linear partition-of-unity hat over the overlap region
+                chi = np.ones(len(idx))
+                if pou == "linear":
+                    for j, g in enumerate(idx):
+                        if g < i * base:
+                            chi[j] = 1.0 - (i * base - g) / (overlap + 1.0)
+                        elif g >= (i + 1) * base:
+                            chi[j] = 1.0 - (g - (i + 1) * base + 1) / (overlap + 1.0)
+                idx_list.append(idx)
+                chi_list.append(chi)
         # normalize PU so it sums to 1 at every dof
         den = np.zeros(N)
         for idx, chi in zip(idx_list, chi_list):
@@ -76,7 +136,8 @@ class GenEOPreconditioner:
             sub_idx[i, :k] = idx
             sub_mask[i, :k] = 1.0
             sub_chi[i, :k] = chi
-            Ai = A[np.ix_(idx, idx)]
+            Ai = (A[idx][:, idx].toarray() if sparse
+                  else A[np.ix_(idx, idx)])
             A_loc[i, :k, :k] = Ai
             # identity on padding to keep factorizations nonsingular
             for j in range(k, m):
@@ -148,11 +209,31 @@ def _gen_eigh_smallest(A, B, nev):
 
 
 def geneo_preconditioner_for(go, x_lin=None, nsub=4, overlap=None, nev=3,
-                             time=0.0):
-    """Convenience: assemble the operator and build GenEO for a GridOperator
-    (test/moderate scale: dense assembly)."""
+                             time=0.0, boxes=None):
+    """Assemble the operator and build GenEO for a GridOperator.
+
+    Preferred path (lattice Qk spaces): sparse lattice-ELL assembly
+    (O(N*taps) memory) + overlapping BOX subdomains with a product-hat PU —
+    scales to large N with bounded subdomain size. `boxes` = per-axis
+    subdomain counts (slowest axis first); default splits the slowest axis
+    into `nsub`. Falls back to dense assembly + 1D index slabs when the
+    space has no lattice structure."""
     import numpy as np
     x_lin = x_lin if x_lin is not None else jnp.zeros(go.space.ndofs)
+    try:
+        from dune_pdelab_tpu.assembly.ell import assemble_ell, ell_to_csr
+        ell = assemble_ell(go, x_lin, time)
+    except Exception:
+        ell = None
+    if ell is not None:
+        A = ell_to_csr(ell)
+        grid_shape = ell.grid_shape
+        if boxes is None:
+            boxes = (nsub,) + (1,) * (len(grid_shape) - 1)
+        if overlap is None:
+            overlap = max(1, grid_shape[0] // max(boxes[0], 1) // 4)
+        subs = lattice_box_subdomains(grid_shape, boxes, overlap)
+        return GenEOPreconditioner(A, nev=nev, subdomains=subs)
     A = np.asarray(go.jacobian(x_lin, time).todense())
     N = A.shape[0]
     if N % nsub:

@@ -118,3 +118,42 @@ def test_check_lop_interface():
     with pytest.raises(TypeError):
         check_lop_interface(Bad())
     assert check_lop_interface(Bad(), raise_on_error=False)
+
+
+def test_geneo_box_subdomains_sparse():
+    """Round-2 GenEO path: sparse lattice-ELL assembly + overlapping 2D box
+    subdomains with product-hat PU. Iteration counts stay low and roughly
+    flat as the subdomain grid refines (testgeneo scalability oracle) at a
+    size where dense O(N^2) assembly would already cost ~1 GB."""
+    import jax.numpy as jnp
+    from dune_pdelab_tpu import (
+        StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+    )
+    from dune_pdelab_tpu.linalg.geneo import geneo_preconditioner_for
+    from dune_pdelab_tpu.linalg.krylov import cg as krylov_cg
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+    )
+
+    class HC(ConvectionDiffusionProblem):
+        def A(self, x):  # high-contrast stripes
+            return jnp.where(jnp.floor(8 * x[..., 1]) % 2 == 0, 1.0, 1e4)
+
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    mesh = StructuredMesh([0, 0], [1, 1], (96, 96))     # 9409 dofs
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    p = HC()
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    b = go.residual(V.zero())
+    its = []
+    for boxes in ((2, 2), (4, 4)):
+        M = geneo_preconditioner_for(go, boxes=boxes, nev=3)
+        x, s = krylov_cg(lambda z: go.jacobian_apply(V.zero(), z), b,
+                         M=M, tol=1e-8)
+        assert bool(s.converged)
+        its.append(int(s.iterations))
+    assert its[1] <= its[0] + 15, its
+    assert max(its) < 60, its
