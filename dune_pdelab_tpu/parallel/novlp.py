@@ -241,6 +241,52 @@ class NonoverlappingShardedGridOperator(ShardedGridOperator):
             lambda y: self.residual_unconstrained_padded(y, time), (xp,), (zf,))
         return jnp.where(self.mask_padded, zp, jz)
 
+    # -- generic data handles (Add/Copy/Min/Max) -------------------------------
+    # the genericdatahandle.hh:646-790 analog on the block-sharded layout:
+    # `exchange_window` is the Copy handle (each shard reads a ghost window
+    # [dB-H, (d+1)B+H) of neighbor data), `combine_window` ships per-shard
+    # window CONTRIBUTIONS back to their owner rows under a reduction
+    # policy — 'add' is the border sum the residual uses, 'min'/'max' give
+    # the non-additive consistency patterns (e.g. slope limiting across
+    # shard boundaries).
+    def exchange_window_padded(self, xp):
+        """(ndev*(B+2H),) array of per-shard ghost windows (Copy policy)."""
+        ax, nd, H, B = self.axis_name, self.ndev, self.H, self.B
+        fwd = [(i, i + 1) for i in range(nd - 1)]
+        bwd = [(i + 1, i) for i in range(nd - 1)]
+
+        def local(x):
+            prev = lax.ppermute(x[B - H:], ax, fwd)
+            nxt = lax.ppermute(x[:H], ax, bwd)
+            return jnp.concatenate([prev, x, nxt])
+
+        return jax.shard_map(local, mesh=self.device_mesh,
+                             in_specs=P(ax), out_specs=P(ax))(xp)
+
+    def combine_window_padded(self, wp, policy: str = "add"):
+        """Reduce per-shard window contributions onto owner rows."""
+        ax, nd, H, B = self.axis_name, self.ndev, self.H, self.B
+        fwd = [(i, i + 1) for i in range(nd - 1)]
+        bwd = [(i + 1, i) for i in range(nd - 1)]
+        neutral = {"add": 0.0, "min": jnp.inf, "max": -jnp.inf}[policy]
+        comb = {"add": jnp.add, "min": jnp.minimum,
+                "max": jnp.maximum}[policy]
+
+        def local(w):
+            i = lax.axis_index(ax)
+            tail = lax.ppermute(w[:H], ax, bwd)      # from next shard
+            head = lax.ppermute(w[B + H:], ax, fwd)  # from prev shard
+            # chain ends receive ppermute zeros: replace with the neutral
+            tail = jnp.where(i == nd - 1, neutral, tail)
+            head = jnp.where(i == 0, neutral, head)
+            own = w[H:B + H]
+            own = own.at[B - H:].set(comb(own[B - H:], tail))
+            own = own.at[:H].set(comb(own[:H], head))
+            return own
+
+        return jax.shard_map(local, mesh=self.device_mesh,
+                             in_specs=P(ax), out_specs=P(ax))(wp)
+
     # -- flat (N,) convenience API -------------------------------------------
     def _pad(self, x):
         return jnp.pad(x, (0, self.ndev * self.B - self.N))

@@ -292,3 +292,48 @@ def test_rebalance_mid_solve():
     x_fin, s_fin = sharded_cg_solve(dst, b, diag=d, tol=1e-11,
                                     x0=xg)
     assert float(jnp.linalg.norm(x_fin - x_ref)) < 1e-8
+
+
+def test_novlp_data_handles():
+    """Generic data handles on the block-sharded layout: Copy delivers the
+    ghost windows, Add/Min/Max reduce window contributions onto owners
+    (genericdatahandle.hh:646-790 policies)."""
+    from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator
+
+    V, go = _ops(n=8, dim=2, k=1)
+    ngo = NonoverlappingShardedGridOperator(go, devices=jax.devices()[:4])
+    B, H, nd = ngo.B, ngo.H, ngo.ndev
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(nd * B)
+    xp = jax.device_put(jnp.asarray(x), ngo.sharding)
+    # copy: each shard's window equals the global slice [dB-H, (d+1)B+H)
+    win = np.asarray(ngo.exchange_window_padded(xp))
+    W = B + 2 * H
+    for d in range(nd):
+        lo = d * B - H
+        expect = np.zeros(W)
+        for j in range(W):
+            g = lo + j
+            if 0 <= g < nd * B:
+                expect[j] = x[g]
+        assert np.allclose(win[d * W:(d + 1) * W], expect)
+    # min: windows filled with shard-dependent values; owner keeps the min
+    # of all contributions covering its row
+    contribs = np.zeros(nd * W)
+    for d in range(nd):
+        contribs[d * W:(d + 1) * W] = d + 1.0
+    cp = jax.device_put(jnp.asarray(contribs), ngo.sharding)
+    out = np.asarray(ngo.combine_window_padded(cp, policy="min"))
+    expect = np.zeros(nd * B)
+    for g in range(nd * B):
+        vals = [d + 1.0 for d in range(nd)
+                if d * B - H <= g < (d + 1) * B + H]
+        expect[g] = min(vals)
+    assert np.allclose(out, expect)
+    # add matches the residual border-sum semantics
+    out_add = np.asarray(ngo.combine_window_padded(cp, policy="add"))
+    expect_add = np.zeros(nd * B)
+    for g in range(nd * B):
+        expect_add[g] = sum(d + 1.0 for d in range(nd)
+                            if d * B - H <= g < (d + 1) * B + H)
+    assert np.allclose(out_add, expect_add)
