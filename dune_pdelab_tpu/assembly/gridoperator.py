@@ -274,9 +274,11 @@ class GridOperator:
         cc = self.mesh.element_corner_coords()
         if elements is not None:
             cc = cc[elements]
-        # P1 node order (0,0),(0,1),(1,0): J columns [V2-V0 | V1-V0]
-        J = np.stack([cc[:, 2] - cc[:, 0], cc[:, 1] - cc[:, 0]], axis=-1)
-        detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        # P1 node order: xi_i is moved by node (d1-1-i); J columns follow
+        dim = self.mesh.dim
+        J = np.stack([cc[:, dim - i] - cc[:, 0] for i in range(dim)],
+                     axis=-1)
+        detJ = np.linalg.det(J)
         signs = lf._hdiv_signs
         if elements is not None:
             signs = signs[elements]

@@ -197,6 +197,37 @@ class RT0Simplex2D(VectorFiniteElement):
         return np.full((len(points), 3), 2.0)
 
 
+class RT0Simplex3D(VectorFiniteElement):
+    """Lowest-order Raviart-Thomas on the reference tetrahedron (reference:
+    dune/pdelab/finiteelementmap/rt0simplex2dfem.hh family, 3D member).
+
+    Reference tet = the P1 geometry convention v0=(0,0,0), v1=(0,0,1),
+    v2=(0,1,0), v3=(1,0,0). One dof per face (TOTAL outward flux); local
+    face l is opposite vertex l. psi_l(x) = 2 (x - v_l) has unit outward
+    flux through face l (h_l |f_l| = 3 |T| = 1/2) and is tangent to the
+    other faces."""
+
+    geometry = "simplex"
+    degree = 1
+    ndofs_per_face = 1
+
+    def __init__(self, dim: int = 3):
+        if dim != 3:
+            raise NotImplementedError("RT0Simplex3D: 3D only")
+        self.dim = 3
+        self.nbasis = 4
+        self._verts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.0],
+                                [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        return 2.0 * (points[:, None, :] - self._verts[None, :, :])
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        return np.full((len(points), 4), 6.0)
+
+
 class BDM1Simplex2D(VectorFiniteElement):
     """Brezzi-Douglas-Marini order 1 on the reference triangle (reference:
     dune/pdelab/finiteelementmap/bdm1simplex2dfem.hh).

@@ -248,11 +248,13 @@ class FunctionSpace:
         # fold in sign(det J) of the affine map (Piola flux parity)
         locs = np.array([[v for v in range(d1) if v != l] for l in range(d1)])
         cc = mesh.element_corner_coords()
-        if mesh.dim != 2:
-            raise NotImplementedError("simplex H(div): 2D only")
-        J0 = cc[:, 2] - cc[:, 0]        # d x / d xi_0  (P1 node order)
-        J1 = cc[:, 1] - cc[:, 0]
-        sdet = np.sign(J0[:, 0] * J1[:, 1] - J0[:, 1] * J1[:, 0])
+        # affine Jacobian columns in P1 node order (dim-th node moves xi_0)
+        Jcols = [cc[:, d1 - 1 - i] - cc[:, 0] for i in range(mesh.dim)]
+        J = np.stack(Jcols, axis=-1)
+        sdet = np.sign(np.linalg.det(J))
+        if m > 1 and mesh.dim != 2:
+            raise NotImplementedError(
+                "tangent-odd face moments (BDM) on simplices: 2D only")
         cols = []
         signs = []
         eidx = np.arange(E)
@@ -260,8 +262,10 @@ class FunctionSpace:
             fid = face_of[:, l]
             sigma = np.where((owner_cell[fid] == eidx)
                              & (owner_loc[fid] == l), 1.0, -1.0) * sdet
-            la, lb = locs[l]
-            tau = np.where(mesh.cells[:, la] < mesh.cells[:, lb], 1.0, -1.0)
+            if m > 1:
+                la, lb = locs[l]
+                tau = np.where(mesh.cells[:, la] < mesh.cells[:, lb],
+                               1.0, -1.0)
             for k in range(m):
                 cols.append(fid * m + k)
                 signs.append(sigma if k % 2 == 0 else sigma * tau)

@@ -105,3 +105,60 @@ def test_mixed_simplex_rt0_convergence():
         errs.append(np.sqrt(np.mean((xp - p.p_exact(centers)) ** 2)))
     order = np.log2(errs[0] / errs[1])
     assert order > 0.9, (errs, order)
+
+
+@pytest.mark.fast
+def test_rt0_simplex3d_unisolvence():
+    """Tet RT0: total outward flux of psi_l through face m == delta_lm."""
+    from dune_pdelab_tpu.fe.hdiv import RT0Simplex3D
+    from dune_pdelab_tpu.fe.quadrature import quadrature_rule
+
+    fem = RT0Simplex3D()
+    verts = fem._verts
+    qp, qw = quadrature_rule("simplex", 2, 4)      # rule on ref triangle
+    lam = np.concatenate([1 - qp.sum(axis=1, keepdims=True), qp], axis=1)
+    M = np.zeros((4, 4))
+    for l in range(4):
+        fverts = verts[[v for v in range(4) if v != l]]      # (3, 3)
+        pts = lam @ fverts
+        e1, e2 = fverts[1] - fverts[0], fverts[2] - fverts[0]
+        n = np.cross(e1, e2)
+        area2 = np.linalg.norm(n)                  # = 2 * |face|
+        n = n / area2
+        if np.dot(n, fverts[0] - verts[l]) < 0:
+            n = -n
+        dens = area2                                # |d x / d ref-face|
+        v = fem.tabulate_vector(pts)               # (q, 4, 3)
+        M[l] = (qw * dens) @ np.einsum("qbd,d->qb", v, n)
+    assert np.allclose(M, np.eye(4), atol=1e-12)
+
+
+def test_mixed_simplex3d_rt0():
+    """3D tet mixed Darcy: symmetric operator, local conservation."""
+    from dune_pdelab_tpu.fe.hdiv import RT0Simplex3D
+
+    class P3(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+        def g(self, x):
+            return jnp.zeros(x.shape[:-1])
+
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0, 0], [1, 1, 1],
+                                                    (2, 2, 2)))
+    Vu = FunctionSpace(sm, RT0Simplex3D(), name="u")
+    Vp = FunctionSpace(sm, P0FEM(3, geometry="simplex"), name="p")
+    W = CompositeSpace(Vu, Vp)
+    go = GridOperator(W, DiffusionMixed(P3()))
+    A = np.asarray(go.jacobian(W.zero()).todense())
+    assert np.allclose(A, A.T, atol=1e-10)
+    nu = Vu.ndofs
+    eig = np.linalg.eigvalsh(A[:nu, :nu])
+    assert eig.min() > 0
+    ls = LinearSolverBackend(solver="minres", precond="none", maxiter=40000)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-10, verbose=0)
+    x = slp.apply(W.zero())
+    assert slp.result.converged
+    r = go.residual(x)
+    rp = np.asarray(W.restrict(r, 1))
+    assert np.max(np.abs(rp)) < 1e-8
