@@ -672,19 +672,28 @@ class GridOperator:
         f: per-leaf tuple -> per-leaf tuple residual. Returns
         (B, nlocal, nlocal) with the concatenated local ordering.
         """
-        cols = []
         ntot = sum(nloc_list)
         offs = np.concatenate([[0], np.cumsum(nloc_list)])
         uarg = self._uarg(u_leaf)
-        for j in range(ntot):
-            leaf = int(np.searchsorted(offs, j, side="right") - 1)
-            loc = j - offs[leaf]
-            tangent = [jnp.zeros_like(u) for u in u_leaf]
-            tangent[leaf] = jnp.zeros_like(u_leaf[leaf]).at[:, loc].set(1.0)
+        # one vmapped jvp over all ntot probe directions (a single traced
+        # kernel instead of ntot unrolled jvps — round-1 compile-time
+        # hotspot); tangents are (ntot, nloc_leaf) one-hot blocks broadcast
+        # over the batch axis
+        sels = []
+        for li, nl in enumerate(nloc_list):
+            s = np.zeros((ntot, nl))
+            s[offs[li]:offs[li + 1]] = np.eye(nl)
+            sels.append(jnp.asarray(s))
+
+        def one(sel_leaves):
+            tangent = [jnp.broadcast_to(s[None, :], u.shape)
+                       for s, u in zip(sel_leaves, u_leaf)]
             _, col = jax.jvp(lambda u: self._pack(f(u)),
                              (uarg,), (self._uarg(tangent),))
-            cols.append(jnp.concatenate(col, axis=1))  # (B, ntot)
-        return jnp.stack(cols, axis=-1)                # (B, ntot, ntot)
+            return jnp.concatenate(col, axis=1)        # (B, ntot)
+
+        cols = jax.vmap(one)(tuple(sels))              # (ntot, B, ntot)
+        return jnp.moveaxis(cols, 0, -1)               # (B, ntot, ntot)
 
     def _element_jacobians_impl(self, x, time):
         dtype = x.dtype
@@ -786,17 +795,22 @@ class GridOperator:
 
             both = ui + uo
             sizes = list(self.local_sizes) * 2
-            cols = []
             offs = np.concatenate([[0], np.cumsum(sizes)])
-            for j in range(2 * nin):
-                leaf = int(np.searchsorted(offs, j, side="right") - 1)
-                loc = j - offs[leaf]
-                tangent = [jnp.zeros_like(u) for u in both]
-                tangent[leaf] = jnp.zeros_like(both[leaf]).at[:, loc].set(1.0)
+            # single vmapped jvp over all 2n probe directions (see _probe)
+            sels = []
+            for li, nl in enumerate(sizes):
+                s = np.zeros((2 * nin, nl))
+                s[offs[li]:offs[li + 1]] = np.eye(nl)
+                sels.append(jnp.asarray(s))
+
+            def one(sel_leaves):
+                tangent = [jnp.broadcast_to(s[None, :], u.shape)
+                           for s, u in zip(sel_leaves, both)]
                 _, col = jax.jvp(lambda u: two_sided(tuple(u)),
                                  (tuple(both),), (tuple(tangent),))
-                cols.append(jnp.concatenate(col, axis=1))   # (F, 2n)
-            Jfull = jnp.stack(cols, axis=-1)                # (F, 2n, 2n)
+                return jnp.concatenate(col, axis=1)         # (F, 2n)
+
+            Jfull = jnp.moveaxis(jax.vmap(one)(tuple(sels)), 0, -1)
             gin = _cat_leaf_dofs(g.leaf_dofs_in)
             gout = _cat_leaf_dofs(g.leaf_dofs_out)
             gboth = np.concatenate([gin, gout], axis=1)     # (F, 2n)
