@@ -337,3 +337,38 @@ def test_novlp_data_handles():
         expect_add[g] = sum(d + 1.0 for d in range(nd)
                             if d * B - H <= g < (d + 1) * B + H)
     assert np.allclose(out_add, expect_add)
+
+
+def test_novlp_newton_nonlinear_parity():
+    """Full nonlinear Newton solve THROUGH the block-sharded operator:
+    same Newton iterations and solution as the sequential GridOperator
+    (distributed solver stack end-to-end)."""
+    from dune_pdelab_tpu.ops.base import LocalOperator
+    from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator
+    from dune_pdelab_tpu.solvers import NewtonMethod, SEQ_CG_Jacobi
+
+    class NL(LocalOperator):
+        def alpha_volume(self, ctx, u):
+            tab = ctx.tab
+            gu = self.gradient_at_qp(tab, u)
+            uq = self.value_at_qp(tab, u)
+            return (self.accumulate_gradient(tab, ctx.factor, gu)
+                    + self.accumulate_value(tab, ctx.factor, uq ** 3))
+
+        def lambda_volume(self, ctx):
+            ue = jnp.sin(np.pi * ctx.x[..., 0]) * jnp.sin(np.pi * ctx.x[..., 1])
+            f = 2 * np.pi ** 2 * ue + ue ** 3
+            return self.accumulate_value(ctx.tab, ctx.factor, -f)
+
+    mesh = StructuredMesh([0, 0], [1, 1], (12, 12))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, NL(), constraints=cg_)
+    ngo = NonoverlappingShardedGridOperator(go, devices=jax.devices()[:4])
+    n_seq = NewtonMethod(go, SEQ_CG_Jacobi(), reduction=1e-10, verbose=0)
+    x_seq = n_seq.apply(V.zero())
+    n_par = NewtonMethod(ngo, SEQ_CG_Jacobi(), reduction=1e-10, verbose=0)
+    x_par = n_par.apply(V.zero())
+    assert n_seq.result.converged and n_par.result.converged
+    assert n_seq.result.iterations == n_par.result.iterations
+    assert float(jnp.linalg.norm(x_seq - x_par)) < 1e-8
