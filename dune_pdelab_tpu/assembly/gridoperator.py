@@ -248,7 +248,10 @@ class GridOperator:
             return (None, None, None, fem.degree, vecs, divs, None)
         if fem.continuity == "Hcurl":
             if not self.mesh.uniform:
-                raise NotImplementedError("H(curl) on mapped meshes")
+                if self.mesh.geometry_type != "simplex":
+                    raise NotImplementedError("H(curl) on mapped cube meshes")
+                vecs, curls = self._simplex_covariant(lf, pts_ref)
+                return (None, None, None, fem.degree, vecs, None, curls)
             h = self.mesh.h
             detJ = float(np.prod(h))
             vecs = fem.tabulate_vector(pts_ref) / h           # covariant
@@ -288,6 +291,30 @@ class GridOperator:
                / detJ[:, None, None, None] * signs[:, None, :, None])
         div = d_ref[None] / detJ[:, None, None] * signs[:, None, :]
         return vec, div
+
+    def _simplex_covariant(self, lf, pts_ref, elements=None):
+        """Per-element covariant Piola tabulation on affine simplices
+        (H(curl)): vec (E, nqp, nb, d) = sign * J^{-T} v_ref, 2D curl
+        (E, nqp, nb) = sign * curl_ref / det J. Signs are the global edge
+        directions (space/space.py _build_hcurl_map_simplex)."""
+        fem = lf.fem
+        cc = self.mesh.element_corner_coords()
+        if elements is not None:
+            cc = cc[elements]
+        dim = self.mesh.dim
+        J = np.stack([cc[:, dim - i] - cc[:, 0] for i in range(dim)],
+                     axis=-1)
+        detJ = np.linalg.det(J)
+        invT = np.swapaxes(np.linalg.inv(J), -1, -2)      # J^{-T}
+        signs = lf._hcurl_signs
+        if elements is not None:
+            signs = signs[elements]
+        v_ref = fem.tabulate_vector(pts_ref)              # (q, nb, d)
+        c_ref = fem.tabulate_curl(pts_ref)                # (q, nb) in 2D
+        vec = (np.einsum("eij,qbj->eqbi", invT, v_ref)
+               * signs[:, None, :, None])
+        curl = c_ref[None] / detJ[:, None, None] * signs[:, None, :]
+        return vec, curl
 
     def _tab_at(self, pts_ref, geo: FaceGeometry):
         """Per-leaf raw tabs at embedded face points (uniform geometry)."""

@@ -95,3 +95,53 @@ class N0Cube:
 
     def __repr__(self):
         return f"N0Cube(dim={self.dim}, nbasis={self.nbasis}, Hcurl)"
+
+
+class N0Simplex2D:
+    """Lowest-order Nedelec (Whitney) edge element on the reference
+    triangle (reference: dune/pdelab/finiteelementmap/edges0.5fem.hh — the
+    simplex EdgeS0.5 member).
+
+    Reference triangle = P1 geometry convention v0=(0,0), v1=(0,1),
+    v2=(1,0); barycentrics lambda = [1-x-y, y, x]. Edges ordered by local
+    vertex pairs (0,1),(0,2),(1,2) — matching SimplexMesh.edges(). Basis
+    w_(a,b) = lambda_a grad(lambda_b) - lambda_b grad(lambda_a) with unit
+    tangential circulation along a->b; global edge direction (ascending
+    global vertex id) is a per-element diagonal sign from the space layer.
+    """
+
+    geometry = "simplex"
+    continuity = "Hcurl"
+    nodes = None
+    degree = 1
+
+    _pairs = ((0, 1), (0, 2), (1, 2))
+    _grads = np.array([[-1.0, -1.0], [0.0, 1.0], [1.0, 0.0]])
+
+    def __init__(self, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("N0Simplex: 2D only")
+        self.dim = 2
+        self.nbasis = 3
+
+    @staticmethod
+    def _lams(points):
+        x, y = points[:, 0], points[:, 1]
+        return np.stack([1.0 - x - y, y, x], axis=1)       # (npts, 3)
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        lam = self._lams(points)
+        v = np.zeros((len(points), 3, 2))
+        for l, (a, b) in enumerate(self._pairs):
+            v[:, l, :] = (lam[:, a:a + 1] * self._grads[b][None]
+                          - lam[:, b:b + 1] * self._grads[a][None])
+        return v
+
+    def tabulate_curl(self, points):
+        points = np.atleast_2d(points)
+        c = np.zeros((len(points), 3))
+        for l, (a, b) in enumerate(self._pairs):
+            ga, gb = self._grads[a], self._grads[b]
+            c[:, l] = 2.0 * (ga[0] * gb[1] - ga[1] * gb[0])
+        return c

@@ -214,9 +214,15 @@ class LocalOperator:
         return jnp.einsum("qb,eq->eb", tab.div, w * factor)
 
     # -- H(curl) edge-element helpers ---------------------------------------
+    # batched (affine-simplex) tabs carry a leading element axis; detect via
+    # vec_phi.ndim == 4 (shapes alone are ambiguous for nb == 3).
     @staticmethod
     def curl_at_qp(tab: LeafTab, u):
         """curl of an H(curl) field: (E,nqp) in 2D, (E,nqp,3) in 3D."""
+        if tab.vec_phi is not None and tab.vec_phi.ndim == 4:
+            if tab.curl.ndim == 3:
+                return jnp.einsum("eqb,eb->eq", tab.curl, u)
+            return jnp.einsum("eqbd,eb->eqd", tab.curl, u)
         if tab.curl.ndim == 2:
             return jnp.einsum("qb,eb->eq", tab.curl, u)
         return jnp.einsum("qbd,eb->eqd", tab.curl, u)
@@ -224,6 +230,11 @@ class LocalOperator:
     @staticmethod
     def accumulate_curl(tab: LeafTab, factor, w):
         """Dual of curl_at_qp: weight w (E,nqp[,3]) -> (E, nloc)."""
+        if tab.vec_phi is not None and tab.vec_phi.ndim == 4:
+            if tab.curl.ndim == 3:
+                return jnp.einsum("eqb,eq->eb", tab.curl, w * factor)
+            return jnp.einsum("eqbd,eqd->eb", tab.curl,
+                              w * factor[..., None])
         if tab.curl.ndim == 2:
             return jnp.einsum("qb,eq->eb", tab.curl, w * factor)
         return jnp.einsum("qbd,eqd->eb", tab.curl, w * factor[..., None])

@@ -272,11 +272,28 @@ class FunctionSpace:
         self._hdiv_signs = np.stack(signs, axis=1)   # (E, nbasis)
         return np.stack(cols, axis=1)
 
+    def _build_hcurl_map_simplex(self):
+        """Edge-based DOF map for Whitney elements on simplex meshes: the
+        unique-edge list IS the dof set; per-element diagonal signs encode
+        the global edge direction (ascending global vertex id — the EdgeS0.5
+        orientation convention)."""
+        mesh = self.mesh
+        uniq, cell_edges = mesh.edges()
+        pairs = mesh._edge_pairs
+        signs = np.ones(cell_edges.shape)
+        for l, (a, b) in enumerate(pairs):
+            signs[:, l] = np.where(mesh.cells[:, a] < mesh.cells[:, b],
+                                   1.0, -1.0)
+        self._hcurl_signs = signs
+        return np.asarray(cell_edges, np.int64)
+
     def _build_hcurl_map(self):
         """Edge-based DOF map for Nedelec elements: per edge direction a, a
         lexicographic edge lattice (cells[a] x (cells[d]+1 transverse));
         element-local ordering matches N0Cube.edges."""
         mesh, fem = self.mesh, self.fem
+        if mesh.geometry_type == "simplex":
+            return self._build_hcurl_map_simplex()
         dim = mesh.dim
         emi = mesh.element_multi_index()
         offsets, edge_dims = [], []

@@ -111,3 +111,69 @@ def test_curlcurl_manufactured_2d():
             exact[off + i] = val
     err = np.linalg.norm(np.asarray(x) - exact) / np.linalg.norm(exact)
     assert err < 0.05, err
+
+
+# ---------------------------------------------------------------------------
+# Whitney edge elements on simplices (round 2)
+# ---------------------------------------------------------------------------
+
+def test_whitney_duality():
+    """Tangential circulation of w_m along edge l (a->b) == delta_lm."""
+    from dune_pdelab_tpu.fe.hcurl import N0Simplex2D
+    from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+
+    fem = N0Simplex2D()
+    verts = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    xq, wq = gauss_legendre(4)
+    M = np.zeros((3, 3))
+    for l, (a, b) in enumerate(fem._pairs):
+        va, vb = verts[a], verts[b]
+        pts = va[None] + xq[:, None] * (vb - va)[None]
+        t = vb - va                            # UNnormalized: ds absorbs |t|
+        v = fem.tabulate_vector(pts)
+        M[l] = wq @ np.einsum("qbd,d->qb", v, t)
+    assert np.allclose(M, np.eye(3), atol=1e-12)
+
+
+def test_simplex_de_rham():
+    """curl(grad) = 0 discretely on a triangulation: edge dofs of a nodal
+    gradient (p[hi] - p[lo] with the global ascending-id direction) lie in
+    the kernel of the curl-curl operator."""
+    from dune_pdelab_tpu.fe.hcurl import N0Simplex2D
+    from dune_pdelab_tpu.mesh import SimplexMesh
+
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0], [1, 1], (4, 4)))
+    Ve = FunctionSpace(sm, N0Simplex2D())
+    go = GridOperator(Ve, CurlCurl(CurlCurlParameters(nu=1.0, beta=0.0)))
+    rng = np.random.default_rng(0)
+    pvals = rng.standard_normal(sm.nvertices)
+    uniq, _ = sm.edges()
+    gvec = pvals[uniq[:, 1]] - pvals[uniq[:, 0]]      # sorted: lo -> hi
+    y = go.jacobian_apply(Ve.zero(), jnp.asarray(gvec))
+    assert float(jnp.linalg.norm(y)) < 1e-10
+
+
+def test_simplex_curlcurl_spd_solve():
+    """curl-curl + mass on a triangulation: assembled operator symmetric
+    positive definite; CG converges."""
+    from dune_pdelab_tpu.fe.hcurl import N0Simplex2D
+    from dune_pdelab_tpu.mesh import SimplexMesh
+
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0], [1, 1], (4, 4)))
+    Ve = FunctionSpace(sm, N0Simplex2D())
+
+    class P(CurlCurlParameters):
+        def f(self, x):
+            return jnp.stack([jnp.ones(x.shape[:-1]),
+                              x[..., 0]], axis=-1)
+
+    go = GridOperator(Ve, CurlCurl(P(nu=1.0, beta=1.0)))
+    A = np.asarray(go.jacobian(Ve.zero()).todense())
+    assert np.allclose(A, A.T, atol=1e-11)
+    assert np.linalg.eigvalsh(A).min() > 0
+    b = -np.asarray(go.residual(Ve.zero()))
+    x, s = cg(lambda z: go.jacobian_apply(Ve.zero(), z), jnp.asarray(b),
+              tol=1e-10)
+    assert bool(s.converged)
+    r = np.asarray(go.residual(jnp.asarray(x)))
+    assert np.linalg.norm(r) < 1e-8
