@@ -163,8 +163,8 @@ def build_fused_cg_kernels(dims, offsets, weights, interpret=False):
         k1_kernel,
         grid=(nz,),
         in_specs=[smem_scalar,
-                  pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[grid_spec(),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), f32),
@@ -223,7 +223,7 @@ def build_fused_cg_kernels(dims, offsets, weights, interpret=False):
         k2_kernel,
         grid=(nz,),
         in_specs=[smem_scalar,
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   grid_spec(), grid_spec()],
         out_specs=[grid_spec(), grid_spec(),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],

@@ -64,7 +64,7 @@ def build_flat_stencil_apply(n, shifts, weights, chunk=1 << 16,
         kernel_manual,
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
         grid=(nchunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((chunk,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -66,7 +66,7 @@ def build_tiled_stencil_apply(dims, offsets, weights, row_block=512,
         kernel,
         out_shape=jax.ShapeDtypeStruct((R_pad, nx), jnp.float32),
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((RB, nx), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

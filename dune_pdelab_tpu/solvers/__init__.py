@@ -10,3 +10,6 @@ from dune_pdelab_tpu.solvers.utilities import (
     SolverStatistics, GridOperatorPreconditioner, check_lop_interface,
     dense_jacobian,
 )
+from dune_pdelab_tpu.solvers.direct import (
+    DirectSolverBackend, SparseLU, SEQ_SuperLU, SEQ_UMFPack,
+)
