@@ -1,4 +1,5 @@
-"""ILU(0) on the lattice-ELL pattern: fine-grained parallel factorization.
+"""ILU(0) and ILU(n) on the lattice-ELL pattern: fine-grained parallel
+factorization.
 
 TPU-native replacement for the reference's sequential ILU0/ILUn smoothers
 (reference: dune/pdelab/backend/istl/seqistlsolverbackend.hh ILU0/ILUn rows
@@ -20,6 +21,13 @@ lattice layout):
 Dirichlet-masked rows are treated as identity rows (diag 1, no coupling),
 so the preconditioner acts as the identity there, matching the constrained
 operator semantics.
+
+ILU(n): on a translation-invariant lattice pattern the symbolic level-of-fill
+phase (ISTL's ILUn fill computation) collapses to offset arithmetic — a fill
+entry at offset o = o1 + o2 created from entries at levels l1, l2 gets level
+l1 + l2 + 1, minimized over decompositions; taps with level <= n join the
+pattern with initial value 0 and the same fixed-point sweeps factorize the
+extended pattern.
 """
 from __future__ import annotations
 
@@ -38,19 +46,47 @@ def _flat_shift(off, dims):
     return s
 
 
-class EllILU0:
-    """ILU(0) preconditioner for an EllMatrix; callable r -> z ~= A^{-1} r."""
+def _fill_levels(offs, level):
+    """Symbolic level-of-fill on a translation-invariant offset pattern.
 
-    def __init__(self, ell, sweeps: int = 4, tri_iters: int = 3):
+    Returns the extended offset list (original offsets first, in order) and
+    nothing else — levels only matter for membership. Fill offset o1 + o2
+    from levels l1, l2 gets level l1 + l2 + 1 (minimized over paths), kept
+    when <= `level` (the standard ILU(p) rule specialized to a lattice)."""
+    lev = {tuple(int(c) for c in o): 0 for o in offs}
+    for _ in range(level):
+        items = list(lev.items())
+        for o1, l1 in items:
+            for o2, l2 in items:
+                o = tuple(a + b for a, b in zip(o1, o2))
+                l = l1 + l2 + 1
+                if l <= level and lev.get(o, level + 1) > l:
+                    lev[o] = l
+    fill = sorted(o for o, l in lev.items() if l > 0)
+    return [tuple(int(c) for c in o) for o in offs] + fill
+
+
+class EllILU0:
+    """ILU(level) preconditioner for an EllMatrix; callable r -> z ~= A^{-1} r.
+
+    level=0 is the classic ILU(0) (pattern = matrix pattern); level>=1
+    extends the pattern by lattice fill offsets (`_fill_levels`)."""
+
+    def __init__(self, ell, sweeps: int = 4, tri_iters: int = 3,
+                 level: int = 0):
         self.ell = ell
         self.sweeps = sweeps
         self.tri_iters = tri_iters
+        self.level = level
         dims = ell.dims
         dim = len(dims)
         self.grid_shape = tuple(reversed(dims))
         offs = np.asarray(ell.offsets)                  # (ntaps, dim)
+        n0 = len(offs)
+        if level > 0:
+            offs = np.asarray(_fill_levels(offs, level))
         shifts = np.array([_flat_shift(o, dims) for o in offs])
-        self.k = ell.k
+        self.k = max(int(ell.k), int(np.abs(offs).max()))
         ntaps = len(offs)
         self.diag_t = int(np.nonzero(shifts == 0)[0][0])
         self.lower = [t for t in range(ntaps) if shifts[t] < 0]
@@ -71,8 +107,11 @@ class EllILU0:
                 if t2 is not None and shifts[t2] > 0:
                     plist.append((t1, t2))
             self.pairs[t] = plist
-        # values with identity Dirichlet rows
-        vals = np.array(np.asarray(ell.values), dtype=np.float64, copy=True)
+        self.offs = offs
+        # values with identity Dirichlet rows; fill taps start at 0
+        vals0 = np.array(np.asarray(ell.values), dtype=np.float64, copy=True)
+        vals = np.concatenate(
+            [vals0, np.zeros((ntaps - n0,) + vals0.shape[1:])], axis=0)
         if ell.mask is not None:
             m = np.asarray(ell.mask).reshape(self.grid_shape)
             vals[:, m] = 0.0
@@ -105,7 +144,7 @@ class EllILU0:
         return lax.dynamic_slice(gp, start, arr.shape)
 
     def _factorize(self, a):
-        offs = np.asarray(self.ell.offsets)
+        offs = self.offs
         dt = self.diag_t
         vals = a
 
@@ -154,7 +193,7 @@ class EllILU0:
         return self._apply(r)
 
 
-def ilu0_preconditioner(go, x_lin, time=0.0, sweeps=4, tri_iters=3):
+def ilu0_preconditioner(go, x_lin, time=0.0, sweeps=4, tri_iters=3, level=0):
     """LinearSolverBackend `precond` callable building EllILU0 from the
     assembled lattice-ELL Jacobian. Returns None-equivalent failure as a
     raised error when the space has no lattice structure."""
@@ -162,5 +201,18 @@ def ilu0_preconditioner(go, x_lin, time=0.0, sweeps=4, tri_iters=3):
 
     ell = assemble_ell(go, x_lin, time)
     if ell is None:
-        raise ValueError("ILU0 needs a lattice (single-leaf C0 Qk) space")
-    return EllILU0(ell, sweeps=sweeps, tri_iters=tri_iters)
+        raise ValueError("ILU needs a lattice (single-leaf C0 Qk) space")
+    return EllILU0(ell, sweeps=sweeps, tri_iters=tri_iters, level=level)
+
+
+def ilun_preconditioner(level):
+    """ILU(n) `precond` factory (ISTLBackend_*_ILUn analog): higher fill
+    levels trade factorization/apply cost for stronger smoothing."""
+    def make(go, x_lin, time=0.0, sweeps=None, tri_iters=None):
+        # larger patterns need more fixed-point sweeps to converge the
+        # factorization (Chow-Patel) and more truncated-triangular terms
+        kw = {"level": level,
+              "sweeps": sweeps if sweeps is not None else 4 + 2 * level,
+              "tri_iters": tri_iters if tri_iters is not None else 3 + level}
+        return ilu0_preconditioner(go, x_lin, time, **kw)
+    return make

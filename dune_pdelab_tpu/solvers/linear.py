@@ -291,6 +291,20 @@ def SEQ_BCGS_ILU0(**kw):
                                **kw)
 
 
+def SEQ_CG_ILUn(level=1, **kw):
+    """ISTLBackend_SEQ_CG_ILUn analog: lattice ILU with fill level n."""
+    from dune_pdelab_tpu.linalg.ilu import ilun_preconditioner
+    return LinearSolverBackend(solver="cg", precond=ilun_preconditioner(level),
+                               **kw)
+
+
+def SEQ_BCGS_ILUn(level=1, **kw):
+    """ISTLBackend_SEQ_BCGS_ILUn analog."""
+    from dune_pdelab_tpu.linalg.ilu import ilun_preconditioner
+    return LinearSolverBackend(solver="bicgstab",
+                               precond=ilun_preconditioner(level), **kw)
+
+
 def MatrixFree_CG_Richardson(**kw):
     """ISTLBackend_SEQ_MatrixFree_Richardson analog (matrixfree/backends.hh)."""
     return LinearSolverBackend(solver="cg", precond="richardson", **kw)
