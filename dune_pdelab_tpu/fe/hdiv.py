@@ -382,3 +382,187 @@ class RT1Cube2D(VectorFiniteElement):
         points = np.atleast_2d(points)
         _, divs = self._eval_raw(points)
         return divs @ self._C
+
+
+def _shifted_legendre(m, t):
+    """Shifted Legendre P_m(2t-1) on [0,1] (orthogonal face moments)."""
+    if m == 0:
+        return np.ones_like(t)
+    if m == 1:
+        return 2.0 * t - 1.0
+    pm2, pm1 = np.ones_like(t), 2.0 * t - 1.0
+    for i in range(2, m + 1):
+        pm2, pm1 = pm1, ((2 * i - 1) * (2.0 * t - 1.0) * pm1
+                         - (i - 1) * pm2) / i
+    return pm1
+
+
+class RTkCube2D(VectorFiniteElement):
+    """Raviart-Thomas order k on the reference square (reference:
+    dune/pdelab/finiteelementmap/rt1cube2dfem.hh, rt2cube2dfem.hh,
+    raviartthomasfem.hh).
+
+    Space Q_{k+1,k} x Q_{k,k+1} (2(k+1)(k+2) dofs): per face k+1 moments of
+    the normal component against shifted Legendre {P_0..P_k}(2t-1) (t the
+    global tangential coordinate, shared-face dofs agree between structured
+    neighbors), interior moments of v_x against Q_{k-1,k} and v_y against
+    Q_{k,k-1}. Local ordering: faces (axis, side, moment), then interior."""
+
+    def __init__(self, k: int, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("RTkCube: 2D only")
+        if k < 1:
+            raise ValueError("use RT0Cube for the lowest order")
+        self.dim = 2
+        self.k = k
+        self.degree = k + 1
+        self.ndofs_per_face = k + 1
+        self.ndofs_interior = 2 * k * (k + 1)
+        self.nbasis = 2 * (k + 1) * (k + 2)
+        # monomial basis: ('x', i<=k+1, j<=k), ('y', i<=k, j<=k+1)
+        self._funcs = [("x", i, j) for i in range(k + 2) for j in range(k + 1)]
+        self._funcs += [("y", i, j) for i in range(k + 1) for j in range(k + 2)]
+        self._C = np.linalg.inv(self._dof_matrix())
+
+    def _eval_raw(self, points):
+        x, y = points[:, 0], points[:, 1]
+        n = len(points)
+        nb = self.nbasis
+        vals = np.zeros((n, nb, 2))
+        divs = np.zeros((n, nb))
+        for jf, (comp, i, j) in enumerate(self._funcs):
+            if comp == "x":
+                vals[:, jf, 0] = x**i * y**j
+                divs[:, jf] = (i * x**(i - 1) if i else 0.0) * y**j
+            else:
+                vals[:, jf, 1] = x**i * y**j
+                divs[:, jf] = x**i * (j * y**(j - 1) if j else 0.0)
+        return vals, divs
+
+    def _dof_matrix(self):
+        from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+        k = self.k
+        xq, wq = gauss_legendre(k + 3)
+        nb = self.nbasis
+        M = np.zeros((nb, nb))
+        row = 0
+        for a in range(2):
+            t_axis = 1 - a
+            for s in (0, 1):
+                pts = np.zeros((len(xq), 2))
+                pts[:, a] = float(s)
+                pts[:, t_axis] = xq
+                raw, _ = self._eval_raw(pts)
+                vn = raw[:, :, a]
+                for m in range(k + 1):
+                    M[row] = (wq * _shifted_legendre(m, xq)) @ vn
+                    row += 1
+        X, Y = np.meshgrid(xq, xq, indexing="ij")
+        W = np.outer(wq, wq).ravel()
+        pts = np.stack([X.ravel(), Y.ravel()], axis=1)
+        raw, _ = self._eval_raw(pts)
+        for i in range(k):          # v_x against Q_{k-1,k}
+            for j in range(k + 1):
+                M[row] = (W * pts[:, 0]**i * pts[:, 1]**j) @ raw[:, :, 0]
+                row += 1
+        for i in range(k + 1):      # v_y against Q_{k,k-1}
+            for j in range(k):
+                M[row] = (W * pts[:, 0]**i * pts[:, 1]**j) @ raw[:, :, 1]
+                row += 1
+        assert row == nb
+        return M
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        raw, _ = self._eval_raw(points)
+        return np.einsum("pjd,jb->pbd", raw, self._C)
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        _, divs = self._eval_raw(points)
+        return divs @ self._C
+
+
+def RT2Cube2D():
+    """RT2 on the square (rt2cube2dfem.hh analog)."""
+    return RTkCube2D(2)
+
+
+class RT1Simplex2D(VectorFiniteElement):
+    """Raviart-Thomas order 1 on the reference triangle (reference:
+    dune/pdelab/finiteelementmap/rt1simplex2dfem.hh).
+
+    Space (P1)^2 + x * P1_homog (8 dofs): per edge moments of the outward
+    normal trace against {1, 2t-1} (t ascending local vertex index — the
+    sigma/sigma*tau orientation convention of BDM1Simplex2D), plus interior
+    moments of v against {e_x, e_y}. Interior dofs are element-private and
+    carry no orientation sign."""
+
+    geometry = "simplex"
+    degree = 2
+    ndofs_per_face = 2
+    ndofs_interior = 2
+
+    def __init__(self, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("RT1Simplex: 2D only")
+        self.dim = 2
+        self.nbasis = 8
+        self._verts = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+        self._C = np.linalg.inv(self._dof_matrix())
+
+    @staticmethod
+    def _raw(points):
+        x, y = points[:, 0], points[:, 1]
+        n = len(points)
+        vals = np.zeros((n, 8, 2))
+        # (P1)^2: (1,0),(x,0),(y,0),(0,1),(0,x),(0,y); + (x^2,xy),(xy,y^2)
+        vals[:, 0, 0] = 1.0
+        vals[:, 1, 0] = x
+        vals[:, 2, 0] = y
+        vals[:, 3, 1] = 1.0
+        vals[:, 4, 1] = x
+        vals[:, 5, 1] = y
+        vals[:, 6, 0] = x * x
+        vals[:, 6, 1] = x * y
+        vals[:, 7, 0] = x * y
+        vals[:, 7, 1] = y * y
+        divs = np.zeros((n, 8))
+        divs[:, 1] = 1.0
+        divs[:, 5] = 1.0
+        divs[:, 6] = 3.0 * x
+        divs[:, 7] = 3.0 * y
+        return vals, divs
+
+    def _dof_matrix(self):
+        from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+        xq, wq = gauss_legendre(5)
+        edges = [(1, 2), (0, 2), (0, 1)]         # edge l opposite vertex l
+        normals = np.array([[1.0, 1.0] / np.sqrt(2.0),
+                            [0.0, -1.0], [-1.0, 0.0]])
+        M = np.zeros((8, 8))
+        for l, (a, b) in enumerate(edges):
+            va, vb = self._verts[a], self._verts[b]
+            elen = np.linalg.norm(vb - va)
+            pts = va[None] + xq[:, None] * (vb - va)[None]
+            raw, _ = self._raw(pts)
+            vn = raw @ normals[l]
+            M[2 * l] = (wq * elen) @ vn
+            M[2 * l + 1] = (wq * elen * (2 * xq - 1)) @ vn
+        # interior: integrals of v over the triangle (collapsed GL grid)
+        from dune_pdelab_tpu.fe.quadrature import simplex_rule
+        pts, w = simplex_rule(2, 4)
+        raw, _ = self._raw(np.atleast_2d(pts))
+        M[6] = w @ raw[:, :, 0]
+        M[7] = w @ raw[:, :, 1]
+        return M
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        raw, _ = self._raw(points)
+        return np.einsum("pjd,jb->pbd", raw, self._C)
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        _, divs = self._raw(points)
+        return divs @ self._C

@@ -269,6 +269,14 @@ class FunctionSpace:
             for k in range(m):
                 cols.append(fid * m + k)
                 signs.append(sigma if k % 2 == 0 else sigma * tau)
+        # interior dofs (RT1+): element-private block after all face dofs,
+        # no orientation sign (reference-moment definition per element)
+        ni = getattr(fem, "ndofs_interior", 0)
+        if ni:
+            nfacedofs = len(uniq) * m
+            for k in range(ni):
+                cols.append(nfacedofs + eidx * ni + k)
+                signs.append(np.ones(E))
         self._hdiv_signs = np.stack(signs, axis=1)   # (E, nbasis)
         return np.stack(cols, axis=1)
 
