@@ -107,3 +107,69 @@ def adapt_local(space_old, x_old, marks):
     pts = space_new.dof_coords()
     vals = evaluate_fe(space_old, x_old, pts)
     return space_new, jnp.asarray(vals, x_old.dtype)
+
+
+def p1_edge_jump_indicator(space, x, f=None):
+    """Edge-jump a-posteriori indicator for P1 on triangle meshes:
+
+        eta_K^2 = h_K^2 ||f||_K^2 + (1/2) sum_{e in dK, interior} h_e ||[grad u . n]||_e^2
+
+    (the classical residual estimator; reference:
+    dune/pdelab/localoperator/convectiondiffusionfem.hh:359 — for P1 the
+    volume Laplacian vanishes, leaving the source + jump terms). Returns a
+    per-element numpy array eta_K^2.
+    """
+    from dune_pdelab_tpu.mesh.simplex import SimplexMesh
+
+    mesh = space.mesh
+    assert isinstance(mesh, SimplexMesh) and mesh.dim == 2
+    xv = np.asarray(x, dtype=np.float64)
+    cc = mesh.element_corner_coords()                   # (E, 3, 2)
+    uv = xv[np.asarray(space.element_dofs)]             # (E, 3) P1 nodal
+    # constant gradient per cell: solve [p1-p0; p2-p0]^T g = [u1-u0, u2-u0]
+    Edge = np.stack([cc[:, 1] - cc[:, 0], cc[:, 2] - cc[:, 0]], axis=1)
+    du = np.stack([uv[:, 1] - uv[:, 0], uv[:, 2] - uv[:, 0]], axis=1)
+    grads = np.linalg.solve(Edge, du[..., None])[..., 0]  # (E, 2)
+
+    eta2 = np.zeros(mesh.nelements)
+    itf = mesh.interior_faces()
+    uniq_f, _, _ = mesh.faces()
+    ge = uniq_f[itf["face"]]                            # (NI, 2) vertex ids
+    tvec = mesh.vertices[ge[:, 1]] - mesh.vertices[ge[:, 0]]
+    h_e = np.linalg.norm(tvec, axis=1)
+    n_e = np.stack([tvec[:, 1], -tvec[:, 0]], axis=1) / h_e[:, None]
+    jump = np.einsum("id,id->i",
+                     grads[itf["inside"]] - grads[itf["outside"]], n_e)
+    contrib = 0.5 * h_e * jump**2 * h_e                 # ||const||_e^2 = h_e c^2
+    np.add.at(eta2, itf["inside"], contrib)
+    np.add.at(eta2, itf["outside"], contrib)
+    if f is not None:
+        centers = mesh.element_centers()
+        area = 0.5 * np.abs(np.linalg.det(Edge))
+        hK2 = np.max([np.linalg.norm(cc[:, 1] - cc[:, 0], axis=1),
+                      np.linalg.norm(cc[:, 2] - cc[:, 0], axis=1),
+                      np.linalg.norm(cc[:, 2] - cc[:, 1], axis=1)],
+                     axis=0) ** 2
+        fc = np.asarray(f(centers), dtype=np.float64)
+        eta2 += hK2 * fc**2 * area
+    return eta2
+
+
+def adapt_local_simplex(space_old, x_old, marks):
+    """Bisect marked triangles (conforming closure) and transfer the P1
+    solution exactly (new vertex = edge midpoint -> mean of endpoint
+    values). The simplex counterpart of `adapt_local`; returns
+    (space_new, x_new)."""
+    from dune_pdelab_tpu.mesh.simplex import SimplexMesh
+
+    mesh = space_old.mesh
+    assert isinstance(mesh, SimplexMesh)
+    if space_old.fem.degree != 1:
+        raise NotImplementedError("simplex local adapt: P1 transfer only")
+    mesh_new, (nv_old, mids, ends) = mesh.refine_bisection(marks)
+    space_new = FunctionSpace(mesh_new, space_old.fem, name=space_old.name)
+    xnew = np.zeros(space_new.ndofs)
+    xv = np.asarray(x_old, dtype=np.float64)
+    xnew[:nv_old] = xv
+    xnew[np.asarray(mids)] = 0.5 * (xv[ends[:, 0]] + xv[ends[:, 1]])
+    return space_new, jnp.asarray(xnew, jnp.asarray(x_old).dtype)

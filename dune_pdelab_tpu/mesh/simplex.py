@@ -8,9 +8,10 @@ triangulating a structured mesh. Geometry is affine per element; entity
 lists (edges, boundary classification) are computed once at setup for the
 Pk DOF maps.
 
-Volume assembly (alpha/lambda_volume) is fully supported; face integrals
-(skeleton/boundary kernels) on simplex meshes are not wired yet — Dirichlet
-problems with volume+source terms work end to end.
+Volume assembly (alpha/lambda_volume), face integrals (skeleton/boundary
+kernels via the assembler's embedding-configuration face groups), and local
+adaptive refinement (newest-vertex bisection, `refine_bisection`) are all
+supported.
 """
 from __future__ import annotations
 
@@ -168,6 +169,138 @@ class SimplexMesh:
             for val in (self.lower[d], self.upper[d]):
                 mask |= np.isclose(va[:, d], val) & np.isclose(vb_[:, d], val)
         return mask
+
+    def submesh(self, cell_mask):
+        """Restrict to the selected cells, compacting vertices (used to cut
+        non-box domains — e.g. L-shapes — out of a triangulated box).
+        Boundary vertices are recomputed from face counts."""
+        cell_mask = np.asarray(cell_mask)
+        cells = self.cells[cell_mask]
+        used = np.unique(cells.ravel())
+        remap = np.full(self.nvertices, -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        m = SimplexMesh(self.vertices[used], remap[cells])
+        uniq_f, _, counts = m.faces()
+        vb = np.zeros(m.nvertices, dtype=bool)
+        vb[uniq_f[counts == 1].ravel()] = True
+        m._boundary_vertices = vb
+        return m
+
+    # -- local refinement: newest-vertex bisection ---------------------------
+    def oriented_for_bisection(self):
+        """Rotate each triangle so its LONGEST edge is opposite local vertex
+        0 (the initial refinement-edge assignment of newest-vertex
+        bisection), keeping positive orientation. Call once on the initial
+        mesh before the first `refine_bisection`."""
+        if self.dim != 2:
+            raise NotImplementedError("bisection refinement: 2D only")
+        cc = self.element_corner_coords()                    # (E, 3, 2)
+        # edge opposite vertex l has length |v_{l+1} - v_{l+2}|
+        lens = np.stack([
+            np.linalg.norm(cc[:, (l + 1) % 3] - cc[:, (l + 2) % 3], axis=1)
+            for l in range(3)], axis=1)
+        peak = np.argmax(lens, axis=1)                       # local v0 choice
+        rot = (peak[:, None] + np.arange(3)[None, :]) % 3    # cyclic keeps det
+        cells = np.take_along_axis(self.cells, rot, axis=1)
+        m = SimplexMesh(self.vertices, cells,
+                        boundary_vertices=self._boundary_vertices,
+                        lower=self.lower, upper=self.upper)
+        return m._positively_oriented()
+
+    def _positively_oriented(self):
+        """Swap local vertices 1<->2 where the assembler's affine map has
+        negative determinant (preserves the refinement edge (v1, v2))."""
+        cc = self.element_corner_coords()
+        d1 = self.dim + 1
+        J = np.stack([cc[:, d1 - 1 - i] - cc[:, 0] for i in range(self.dim)],
+                     axis=-1)
+        neg = np.linalg.det(J) < 0
+        cells = self.cells.copy()
+        cells[neg, 1], cells[neg, 2] = self.cells[neg, 2], self.cells[neg, 1]
+        self.cells = cells
+        return self
+
+    def refine_bisection(self, marks):
+        """Newest-vertex bisection of the marked triangles with conforming
+        closure (reference counterpart: local `grid.adapt()` on simplicial
+        UGGrid/ALUGrid driven by dune/pdelab/adaptivity/adaptivity.hh:632;
+        bisection closure makes the result conforming, so no hanging-node
+        constraints arise).
+
+        Convention: the refinement edge of a cell is the edge opposite
+        local vertex 0; children are stored newest-vertex-first, so the
+        convention is self-maintaining across calls. Closure marks the
+        refinement edge of any cell touching a split edge (fixpoint loop);
+        per call a cell bisects at most twice (its children's refinement
+        edges are original edges, grandchildren's are half-edges).
+
+        Returns (new_mesh, transfer) with transfer = (n_old_vertices,
+        midpoint_vertex_ids, edge_endpoint_ids (nmid, 2)) for nodal solution
+        transfer (P1: value at midpoint = mean of endpoints).
+        """
+        if self.dim != 2:
+            raise NotImplementedError("bisection refinement: 2D only")
+        marks = np.asarray(marks)
+        if marks.dtype == bool:
+            marks = np.nonzero(marks)[0]
+        uniq_e, cell_e = self.edges()
+        pairs = self._edge_pairs                              # [(0,1),(0,2),(1,2)]
+        ref_loc = pairs.index((1, 2))
+        ref_eid = cell_e[:, ref_loc]
+        split = np.zeros(len(uniq_e), dtype=bool)
+        split[ref_eid[marks]] = True
+        # closure fixpoint: any cell touching a split edge splits its
+        # refinement edge
+        while True:
+            need = split[cell_e].any(axis=1) & ~split[ref_eid]
+            if not need.any():
+                break
+            split[ref_eid[need]] = True
+        split_ids = np.nonzero(split)[0]
+        nv = self.nvertices
+        mid_of = np.full(len(uniq_e), -1, dtype=np.int64)
+        mid_of[split_ids] = nv + np.arange(len(split_ids))
+        new_verts = np.concatenate([
+            self.vertices,
+            0.5 * (self.vertices[uniq_e[split_ids, 0]]
+                   + self.vertices[uniq_e[split_ids, 1]])], axis=0)
+
+        e01 = cell_e[:, pairs.index((0, 1))]
+        e02 = cell_e[:, pairs.index((0, 2))]
+        cells_out = []
+
+        def emit(tri):
+            cells_out.append(tri)
+
+        c = self.cells
+        for e in range(self.nelements):
+            v0, v1, v2 = c[e]
+            if not split[ref_eid[e]]:
+                emit((v0, v1, v2))
+                continue
+            m12 = mid_of[ref_eid[e]]
+            # children: (m, v0, v1) and (m, v2, v0); their refinement edges
+            # are the original edges (v0,v1) and (v2,v0)
+            for (ma, a, b, eid) in (
+                    (m12, v0, v1, e01[e]), (m12, v2, v0, e02[e])):
+                if split[eid]:
+                    mab = mid_of[eid]
+                    emit((mab, ma, a))
+                    emit((mab, b, ma))
+                else:
+                    emit((ma, a, b))
+        cells_new = np.asarray(cells_out, dtype=np.int64)
+        mesh = SimplexMesh(new_verts, cells_new,
+                           lower=self.lower, upper=self.upper)
+        mesh._positively_oriented()
+        # boundary vertices from face counts (robust for non-box domains,
+        # e.g. L-shapes)
+        uniq_f, _, counts = mesh.faces()
+        vb = np.zeros(len(new_verts), dtype=bool)
+        vb[uniq_f[counts == 1].ravel()] = True
+        mesh._boundary_vertices = vb
+        transfer = (nv, mid_of[split_ids], uniq_e[split_ids])
+        return mesh, transfer
 
     def __repr__(self):
         return (f"SimplexMesh(dim={self.dim}, nelements={self.nelements}, "
