@@ -107,7 +107,9 @@ def _leaf_constraints(bctype, space: FunctionSpace) -> np.ndarray:
     dune/pdelab/constraints/common/constraintsparameters.hh:20).
     """
     mask = np.zeros(space.ndofs, dtype=bool)
-    if bctype is None or space.fem.continuity != "C0":
+    # nodal continuities admit Dirichlet-by-mask: C0 (vertex/edge/face
+    # nodes) and Mimetic (face-centroid values)
+    if bctype is None or space.fem.continuity not in ("C0", "Mimetic"):
         return mask
     bmask = space.boundary_dof_mask()
     if bctype is True:

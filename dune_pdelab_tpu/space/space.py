@@ -68,7 +68,9 @@ class FunctionSpace:
             # tens of GB of host memory
             self._dof_grid_dims = self._c0_dims()
             self.ndofs = int(np.prod(self._dof_grid_dims))
-        elif fem.continuity == "Hdiv":
+        elif fem.continuity in ("Hdiv", "Mimetic"):
+            # Mimetic face elements share the H(div) face-lattice numbering
+            # (scalar face DOFs, no orientation signs on cubes)
             self._element_dofs = self._build_hdiv_map().astype(np.int32)
             self._dof_grid_dims = None
             self.ndofs = int(self._element_dofs.max()) + 1
@@ -176,6 +178,26 @@ class FunctionSpace:
             mask[:nv] = vmask[:min(nv, self.ndofs)]
             if self.fem.degree == 2 and self.ndofs > nv:
                 mask[nv:] = self.mesh.boundary_edge_mask()
+            return mask
+        if self.fem.continuity in ("Hdiv", "Mimetic"):
+            # face-lattice DOFs: boundary = extreme index along the face axis
+            mesh = self.mesh
+            m = getattr(self.fem, "ndofs_per_face", 1)
+            mask = np.zeros(self.ndofs, dtype=bool)
+            off = 0
+            for a in range(mesh.dim):
+                fd = tuple(
+                    (c if mesh.periodic[d] and d == a else
+                     (c + 1 if d == a else c))
+                    for d, c in enumerate(mesh.cells))
+                n_a = int(np.prod(fd))
+                if not mesh.periodic[a]:
+                    fmi = np.stack(np.unravel_index(
+                        np.arange(n_a), fd, order="F"), axis=1)
+                    bnd = (fmi[:, a] == 0) | (fmi[:, a] == mesh.cells[a])
+                    for k in range(m):
+                        mask[off + np.nonzero(bnd)[0] * m + k] = True
+                off += n_a * m
             return mask
         return _leaf_boundary_dof_mask(self)
 
