@@ -36,7 +36,7 @@ from dune_pdelab_tpu.mesh import StructuredMesh
 from dune_pdelab_tpu.fe import (
     QkFEM, PkFEM, P0FEM, QkDGFEM, gauss_legendre, quadrature_rule,
 )
-from dune_pdelab_tpu.space import FunctionSpace, CompositeSpace, PowerSpace, PermutedSpace
+from dune_pdelab_tpu.space import FunctionSpace, CompositeSpace, PowerSpace, PermutedSpace, entity_blocked
 from dune_pdelab_tpu.constraints import (
     DirichletConstraints, constraints, interpolate_dirichlet,
     set_constrained_dofs, set_nonconstrained_dofs, copy_constrained_dofs,

@@ -682,3 +682,55 @@ def _leaf_boundary_dof_mask(space: FunctionSpace) -> np.ndarray:
         sl[ax] = dims[d] - 1
         mask[tuple(sl)] = True
     return mask.reshape(-1)
+
+
+def entity_blocked(space: CompositeSpace, name: str = "") -> PermutedSpace:
+    """Heterogeneous entity-blocked ordering (reference:
+    dune/pdelab/ordering/entityblockedlocalordering.hh:33,155 — per-entity
+    blocks of all children's DOFs, with VARIABLE block size across entities,
+    e.g. Taylor-Hood: (vx, vy, p) blocks at vertices, (vx, vy) at Q2-only
+    nodes).
+
+    Works for any composite tree of nodal C0 leaves on one shared mesh: DOFs
+    are grouped by nodal coordinate (= the geometric entity position),
+    ordered entity-major with the tree's leaf order inside each block.
+    Returns a PermutedSpace carrying `entity_block_sizes` (one entry per
+    entity, in layout order) for blocked backends."""
+
+    def _leaf_globals(s):
+        if s.is_leaf:
+            return [(np.arange(s.ndofs, dtype=np.int64), s)]
+        out = []
+        for i, c in enumerate(s.children):
+            for idx, lf in _leaf_globals(c):
+                out.append((s.child_global(i, idx), lf))
+        return out
+
+    pairs = _leaf_globals(space)
+    meshes = {id(lf.mesh) for _, lf in pairs}
+    if len(meshes) != 1:
+        raise ValueError("entity_blocked needs one shared mesh")
+    coords = np.empty((space.ndofs, pairs[0][1].mesh.dim))
+    rank = np.empty(space.ndofs, dtype=np.int64)
+    for r, (gidx, lf) in enumerate(pairs):
+        if lf.fem.nodes is None or lf.fem.continuity not in ("C0",):
+            raise NotImplementedError(
+                "entity_blocked permutation needs nodal C0 leaves")
+        coords[gidx] = lf.dof_coords()
+        rank[gidx] = r
+    # quantize coordinates so shared-entity nodes compare equal
+    h_min = np.min([np.min(lf.mesh.h) if lf.mesh.uniform else 1.0
+                    for _, lf in pairs])
+    q = np.round(coords / (1e-6 * h_min)).astype(np.int64)
+    # entity-major order (lexsort: last key is primary): entities sorted by
+    # coordinate, leaf rank varying fastest inside each entity block
+    order = np.lexsort((rank,) + tuple(q[:, d] for d in range(q.shape[1])))
+    perm = np.empty(space.ndofs, dtype=np.int64)
+    perm[order] = np.arange(space.ndofs)
+    out = PermutedSpace(space, perm, name=name or space.name)
+    qs = q[order]
+    newblock = np.any(qs[1:] != qs[:-1], axis=1)
+    starts = np.concatenate([[0], np.nonzero(newblock)[0] + 1,
+                             [space.ndofs]])
+    out.entity_block_sizes = np.diff(starts)
+    return out

@@ -86,3 +86,87 @@ def test_chunked_descriptor():
     assert W.block_view(x).shape == (V.ndofs, 2)
     with pytest.raises(ValueError):
         CompositeSpace(V, V, ordering="interleaved", chunk=3)
+
+
+@pytest.mark.fast
+def test_entity_blocked_heterogeneous_taylor_hood():
+    """Heterogeneous entity-blocked ordering (reference:
+    entityblockedlocalordering.hh with variable per-entity block size):
+    Taylor-Hood gets (vx, vy, p) blocks at vertices and (vx, vy) at
+    Q2-only nodes, and the layout solves identically to lexicographic."""
+    from dune_pdelab_tpu import entity_blocked, PowerSpace
+    from dune_pdelab_tpu.ops import ConvectionDiffusionProblem, ConvectionDiffusionFEM
+
+    mesh = StructuredMesh([0, 0], [1, 1], (4, 4))
+    V2 = FunctionSpace(mesh, QkFEM(2, 2), name="v")
+    Vel = PowerSpace(V2, 2, name="vel")
+    Q1 = FunctionSpace(mesh, QkFEM(1, 2), name="p")
+    TH = CompositeSpace(Vel, Q1)
+    W = entity_blocked(TH)
+    bs = W.entity_block_sizes
+    nvert = 5 * 5
+    nq2 = 9 * 9
+    assert np.sum(bs == 3) == nvert            # (vx, vy, p) at vertices
+    assert np.sum(bs == 2) == nq2 - nvert      # (vx, vy) elsewhere
+    assert bs.sum() == W.ndofs
+    # the permutation is a bijection
+    assert len(np.unique(W.perm)) == W.ndofs
+
+    # contiguity: the three dofs of each vertex entity are adjacent and in
+    # tree order; check via restrict round-trip of a labeled vector
+    import jax.numpy as jnp
+    lab = jnp.arange(TH.ndofs, dtype=jnp.float64)
+    x = jnp.zeros(W.ndofs).at[jnp.asarray(W.perm)].set(lab)
+    assert float(jnp.max(jnp.abs(W.restrict(x) - lab))) == 0.0
+
+
+@pytest.mark.fast
+def test_entity_blocked_poisson_vector_solve():
+    """Vector Poisson on the entity-blocked layout matches per-component
+    sequential solves through the full assembly/constraint/solve stack."""
+    from dune_pdelab_tpu import entity_blocked, PowerSpace, constraints
+    from dune_pdelab_tpu.ops import ConvectionDiffusionProblem, ConvectionDiffusionFEM
+    from dune_pdelab_tpu.solvers import SEQ_CG_Jacobi
+
+    from dune_pdelab_tpu.ops.base import LocalOperator
+
+    class VecPoisson(LocalOperator):
+        """-lap u_c = 1 per component (tuple-aware volume kernel)."""
+        is_linear = True
+
+        def alpha_volume(self, ctx, u):
+            us = u if isinstance(u, tuple) else (u,)
+            out = tuple(
+                self.accumulate_gradient(t, ctx.factor,
+                                         self.gradient_at_qp(t, ui))
+                for t, ui in zip(ctx.tabs, us))
+            return out if isinstance(u, tuple) else out[0]
+
+        def lambda_volume(self, ctx):
+            one = jnp.ones(ctx.x.shape[:-1], ctx.factor.dtype)
+            out = tuple(self.accumulate_value(t, ctx.factor, -one)
+                        for t in ctx.tabs)
+            return out if len(out) > 1 else out[0]
+
+    class P(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    mesh = StructuredMesh([0, 0], [1, 1], (8, 8))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    W = entity_blocked(CompositeSpace(V, V))
+    prob = P()
+    cgm = constraints((True, True), W)
+    go = GridOperator(W, VecPoisson(), constraints=cgm)
+    x = StationaryLinearProblemSolver(
+        go, SEQ_CG_Jacobi(maxiter=5000), reduction=1e-12).apply(W.zero())
+
+    cg1 = constraints(prob.dirichlet_bctype(), V)
+    go1 = GridOperator(V, ConvectionDiffusionFEM(prob), constraints=cg1)
+    x1 = StationaryLinearProblemSolver(
+        go1, SEQ_CG_Jacobi(maxiter=5000), reduction=1e-12).apply(V.zero())
+
+    inner = W.restrict(x)
+    for c in range(2):
+        xc = inner[c * V.ndofs:(c + 1) * V.ndofs]
+        assert float(jnp.max(jnp.abs(xc - x1))) < 1e-9
