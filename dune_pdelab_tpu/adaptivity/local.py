@@ -156,20 +156,40 @@ def p1_edge_jump_indicator(space, x, f=None):
 
 
 def adapt_local_simplex(space_old, x_old, marks):
-    """Bisect marked triangles (conforming closure) and transfer the P1
-    solution exactly (new vertex = edge midpoint -> mean of endpoint
-    values). The simplex counterpart of `adapt_local`; returns
+    """Bisect marked triangles (conforming closure) and transfer the
+    solution by interpolation. P1 uses the exact nodal shortcut (new vertex
+    = edge midpoint -> mean of endpoints); Pk evaluates the old FE function
+    at the new nodal points via the recorded parent cells (children are
+    geometrically nested, so the parent's inverse affine map locates every
+    new node). The simplex counterpart of `adapt_local`; returns
     (space_new, x_new)."""
     from dune_pdelab_tpu.mesh.simplex import SimplexMesh
 
     mesh = space_old.mesh
     assert isinstance(mesh, SimplexMesh)
-    if space_old.fem.degree != 1:
-        raise NotImplementedError("simplex local adapt: P1 transfer only")
     mesh_new, (nv_old, mids, ends) = mesh.refine_bisection(marks)
     space_new = FunctionSpace(mesh_new, space_old.fem, name=space_old.name)
-    xnew = np.zeros(space_new.ndofs)
     xv = np.asarray(x_old, dtype=np.float64)
-    xnew[:nv_old] = xv
-    xnew[np.asarray(mids)] = 0.5 * (xv[ends[:, 0]] + xv[ends[:, 1]])
+    if space_old.fem.degree == 1:
+        xnew = np.zeros(space_new.ndofs)
+        xnew[:nv_old] = xv
+        xnew[np.asarray(mids)] = 0.5 * (xv[ends[:, 0]] + xv[ends[:, 1]])
+        return space_new, jnp.asarray(xnew, jnp.asarray(x_old).dtype)
+
+    # Pk: evaluate old FE at every new nodal point through the parent map
+    dim = mesh.dim
+    d1 = dim + 1
+    ed_new = np.asarray(space_new.element_dofs)
+    own = np.empty(space_new.ndofs, dtype=np.int64)
+    own[ed_new.reshape(-1)] = np.repeat(
+        np.arange(mesh_new.nelements), ed_new.shape[1])
+    pts = space_new.dof_coords()                     # (ndofs, dim)
+    par = mesh_new.parent_cells[own]                 # old cell per new dof
+    cc = mesh.element_corner_coords()[par]           # (ndofs, d1, dim)
+    # assembler affine-map convention: xi_i moved by node (d1-1-i)
+    J = np.stack([cc[:, d1 - 1 - i] - cc[:, 0] for i in range(dim)], axis=-1)
+    xi = np.linalg.solve(J, (pts - cc[:, 0])[..., None])[..., 0]
+    vals, _ = space_old.fem.tabulate(xi)             # (ndofs, nb) per-point
+    ed_old = np.asarray(space_old.element_dofs)
+    xnew = np.einsum("nb,nb->n", vals, xv[ed_old[par]])
     return space_new, jnp.asarray(xnew, jnp.asarray(x_old).dtype)

@@ -268,13 +268,16 @@ class SimplexMesh:
         e01 = cell_e[:, pairs.index((0, 1))]
         e02 = cell_e[:, pairs.index((0, 2))]
         cells_out = []
-
-        def emit(tri):
-            cells_out.append(tri)
+        parents = []
 
         c = self.cells
         for e in range(self.nelements):
             v0, v1, v2 = c[e]
+
+            def emit(tri):
+                cells_out.append(tri)
+                parents.append(e)
+
             if not split[ref_eid[e]]:
                 emit((v0, v1, v2))
                 continue
@@ -292,6 +295,7 @@ class SimplexMesh:
         cells_new = np.asarray(cells_out, dtype=np.int64)
         mesh = SimplexMesh(new_verts, cells_new,
                            lower=self.lower, upper=self.upper)
+        mesh.parent_cells = np.asarray(parents, dtype=np.int64)
         mesh._positively_oriented()
         # boundary vertices from face counts (robust for non-box domains,
         # e.g. L-shapes)

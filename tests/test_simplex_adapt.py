@@ -125,3 +125,16 @@ def test_adaptive_beats_uniform_on_corner_singularity():
     es = np.array([e for _, e in ada[2:]])
     rate = np.polyfit(np.log(ns), np.log(es), 1)[0]
     assert rate < -0.75, (rate, ada)
+
+
+def test_transfer_reproduces_p2():
+    """Pk transfer (parent-cell evaluation) is exact for quadratics on P2."""
+    m = _l_shape(4)
+    V = FunctionSpace(m, PkFEM(2, 2))
+    quad = lambda p: p[:, 0]**2 - p[:, 0] * p[:, 1] + 3.0 * p[:, 1] - 1.0
+    x = V.interpolate(lambda q: quad(np.atleast_2d(q)))
+    marks = np.zeros(m.nelements, dtype=bool)
+    marks[::4] = True
+    V2, x2 = adapt_local_simplex(V, x, marks)
+    xref = V2.interpolate(lambda q: quad(np.atleast_2d(q)))
+    assert float(jnp.max(jnp.abs(x2 - xref))) < 1e-11
