@@ -103,3 +103,20 @@ def test_mixed_orders():
     V1 = FunctionSpace(mesh, LegendreDGFEM(1, 2))
     err1 = float(l2_difference(V1, _solve(V1, p), p.exact))
     assert err2 < err < err1, (err2, err, err1)
+
+
+@pytest.mark.fast
+def test_variable_order_opb_and_monomial():
+    """variable_order_mask works on the OPB and monomial hierarchical bases
+    too (variableopbfem.hh / variablemonomfem.hh analogs): total-degree
+    truncation to k=1 keeps exactly the P1 modes."""
+    from dune_pdelab_tpu.fe import OPBFEM, MonomialDGFEM
+
+    mesh = StructuredMesh([0, 0], [1, 1], (4, 4))
+    for FEM in (OPBFEM, MonomialDGFEM):
+        V = FunctionSpace(mesh, FEM(2, 2))
+        degrees = np.full(mesh.nelements, 1)
+        mask = variable_order_mask(V, degrees, truncation="total")
+        nb = V.fem.nbasis
+        kept = nb - int(mask.reshape(mesh.nelements, nb)[0].sum())
+        assert kept == 3, (FEM.__name__, kept)   # P1: {1, x, y}
