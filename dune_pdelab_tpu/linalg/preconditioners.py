@@ -156,7 +156,8 @@ def checkerboard_colors(mesh):
 def ssor_like(A, diag, omega=1.0, sweeps=2):
     """Symmetric-Jacobi smoothing stand-in for SeqSSOR: damped Jacobi
     iterations applied symmetrically. Sequential SOR does not map to TPU;
-    iteration-count parity targets use Jacobi/Chebyshev/GMG instead."""
+    iteration-count parity targets use Jacobi/Chebyshev/GMG instead.
+    For a genuine SOR-class method use `multicolor_ssor` below."""
     dinv = omega / diag
 
     def apply(r):
@@ -166,3 +167,60 @@ def ssor_like(A, diag, omega=1.0, sweeps=2):
         return z
 
     return apply
+
+
+def dof_lattice_colors(space):
+    """Coordinate-parity coloring of a C0 Qk DOF lattice: (k+1)^dim classes
+    by per-axis index mod (k+1). Two DOFs coupled by the Qk stencil
+    (per-axis offsets in [-k, k], not all zero) always land in different
+    classes, so each class is an independent set — the DOF-level counterpart
+    of the element halo coloring (reference:
+    dune/pdelab/common/partition/halo/colored.hh:31)."""
+    import numpy as np
+
+    dims = getattr(space, "_dof_grid_dims", None)
+    if dims is None or space.fem.continuity != "C0":
+        raise ValueError("dof_lattice_colors needs a structured C0 space")
+    k = space.fem.degree
+    m = k + 1
+    idx = np.arange(space.ndofs, dtype=np.int64)
+    code = np.zeros(space.ndofs, dtype=np.int64)
+    g = idx.copy()
+    for d in range(space.mesh.dim):
+        code = code * m + (g % dims[d]) % m
+        g //= dims[d]
+    return [jnp.asarray(np.nonzero(code == c)[0], jnp.int32)
+            for c in range(m ** space.mesh.dim)
+            if np.any(code == c)]
+
+
+def multicolor_ssor(A, diag, colors, omega=1.0, sweeps=1):
+    """Multicolor SSOR (the parallel SeqSSOR analog, reference slot:
+    dune/pdelab/backend/istl/seqistlsolverbackend.hh SSOR combos): one sweep
+    = Gauss-Seidel over the color classes forward then backward. With a
+    fixed color order the forward+backward composition is symmetric, so the
+    result is a valid SPD preconditioner for CG."""
+
+    def half(z, r, order):
+        for cidx in order:
+            r_cur = r - A(z)
+            z = z.at[cidx].add(omega * r_cur[cidx] / diag[cidx])
+        return z
+
+    def apply(r):
+        z = jnp.zeros_like(r)
+        for _ in range(sweeps):
+            z = half(z, r, colors)
+            z = half(z, r, colors[::-1])
+        return z
+
+    return apply
+
+
+def ssor_preconditioner(go, x_lin, time=0.0, omega=1.0, sweeps=1):
+    """LinearSolverBackend `precond` callable: multicolor SSOR on the DOF
+    lattice of a structured C0 space."""
+    colors = dof_lattice_colors(go.space)
+    diag = go.jacobian_diagonal(x_lin, time)
+    A = lambda z: go.jacobian_apply(x_lin, z, time)
+    return multicolor_ssor(A, diag, colors, omega=omega, sweeps=sweeps)

@@ -291,6 +291,23 @@ def SEQ_BCGS_ILU0(**kw):
                                **kw)
 
 
+def SEQ_CG_SSOR(omega=1.0, sweeps=1, **kw):
+    """ISTLBackend_SEQ_CG_SSOR analog: multicolor SSOR on the DOF lattice
+    (forward+backward Gauss-Seidel over coordinate-parity color classes)."""
+    from dune_pdelab_tpu.linalg.preconditioners import ssor_preconditioner
+    import functools
+    p = functools.partial(ssor_preconditioner, omega=omega, sweeps=sweeps)
+    return LinearSolverBackend(solver="cg", precond=p, **kw)
+
+
+def SEQ_BCGS_SSOR(omega=1.0, sweeps=1, **kw):
+    """ISTLBackend_SEQ_BCGS_SSOR analog."""
+    from dune_pdelab_tpu.linalg.preconditioners import ssor_preconditioner
+    import functools
+    p = functools.partial(ssor_preconditioner, omega=omega, sweeps=sweeps)
+    return LinearSolverBackend(solver="bicgstab", precond=p, **kw)
+
+
 def SEQ_CG_ILUn(level=1, **kw):
     """ISTLBackend_SEQ_CG_ILUn analog: lattice ILU with fill level n."""
     from dune_pdelab_tpu.linalg.ilu import ilun_preconditioner
