@@ -710,10 +710,11 @@ class GridOperator:
         for li, nl in enumerate(nloc_list):
             s = np.zeros((ntot, nl))
             s[offs[li]:offs[li + 1]] = np.eye(nl)
-            sels.append(jnp.asarray(s))
+            # tangent dtype must match the (possibly complex) primal
+            sels.append(jnp.asarray(s, u_leaf[li].dtype))
 
         def one(sel_leaves):
-            tangent = [jnp.broadcast_to(s[None, :], u.shape)
+            tangent = [jnp.broadcast_to(s[None, :], u.shape).astype(u.dtype)
                        for s, u in zip(sel_leaves, u_leaf)]
             _, col = jax.jvp(lambda u: self._pack(f(u)),
                              (uarg,), (self._uarg(tangent),))
@@ -828,10 +829,10 @@ class GridOperator:
             for li, nl in enumerate(sizes):
                 s = np.zeros((2 * nin, nl))
                 s[offs[li]:offs[li + 1]] = np.eye(nl)
-                sels.append(jnp.asarray(s))
+                sels.append(jnp.asarray(s, both[li].dtype))
 
             def one(sel_leaves):
-                tangent = [jnp.broadcast_to(s[None, :], u.shape)
+                tangent = [jnp.broadcast_to(s[None, :], u.shape).astype(u.dtype)
                            for s, u in zip(sel_leaves, both)]
                 _, col = jax.jvp(lambda u: two_sided(tuple(u)),
                                  (tuple(both),), (tuple(tangent),))

@@ -45,7 +45,7 @@ def evaluate_at_quadrature(space, x, quad_order=None):
 
 def l2_norm(space, x, quad_order=None):
     _, u, _, factor = evaluate_at_quadrature(space, x, quad_order)
-    return jnp.sqrt(jnp.sum(factor * u * u))
+    return jnp.sqrt(jnp.real(jnp.sum(factor * u * jnp.conj(u))))
 
 
 def l2_difference(space, x, exact, quad_order=None):
@@ -54,7 +54,7 @@ def l2_difference(space, x, exact, quad_order=None):
     ue = jnp.asarray(np.asarray(exact(np.asarray(xq).reshape(-1, xq.shape[-1])))
                      .reshape(u.shape), x.dtype)
     d = u - ue
-    return jnp.sqrt(jnp.sum(factor * d * d))
+    return jnp.sqrt(jnp.real(jnp.sum(factor * d * jnp.conj(d))))
 
 
 def h1_seminorm_difference(space, x, exact_grad, quad_order=None):
@@ -64,7 +64,8 @@ def h1_seminorm_difference(space, x, exact_grad, quad_order=None):
         np.asarray(exact_grad(np.asarray(xq).reshape(-1, xq.shape[-1])))
         .reshape(gu.shape), x.dtype)
     d = gu - ge
-    return jnp.sqrt(jnp.sum(factor * jnp.sum(d * d, axis=-1)))
+    return jnp.sqrt(jnp.real(jnp.sum(factor * jnp.sum(d * jnp.conj(d),
+                                                      axis=-1))))
 
 
 def integrate_grid_function(space, x, quad_order=None):

@@ -450,7 +450,9 @@ class FunctionSpace:
         pts = self._geometry_at(np.atleast_2d(self.fem.interpolation_points))
         fvals = _eval_pointwise(f, pts)                # (E, ni)
         coeffs = np.einsum("bi,ei->eb", self.fem.interpolation_matrix, fvals)
-        x = np.zeros(self.ndofs)
+        if np.iscomplexobj(coeffs):                    # complex-valued f
+            dtype = np.result_type(coeffs.dtype, dtype)
+        x = np.zeros(self.ndofs, dtype=coeffs.dtype)
         x[self.element_dofs.reshape(-1)] = coeffs.reshape(-1)
         return jnp.asarray(x, dtype=dtype)
 
