@@ -90,18 +90,37 @@ def volume_residual_indicator(go, problem, x, time=0.0):
     return hK2 * jnp.sum(rvol**2 * vctx.factor, axis=-1)
 
 
-def adapt_local(space_old, x_old, marks):
-    """Refine marked elements (2:1-balanced closure) and transfer the
-    solution by interpolation at the new nodal points.
+def adapt_local(space_old, x_old, marks, coarsen_marks=None):
+    """Refine marked elements (2:1-balanced closure), optionally coarsen
+    (sibling-complete merges), and transfer the solution by interpolation
+    at the new nodal points (the adapt_grid backup/replay collapse,
+    reference: dune/pdelab/adaptivity/adaptivity.hh:632).
 
     space_old.mesh may be a StructuredMesh (first adapt: converted) or an
-    AdaptiveMesh. Returns (space_new, x_new).
+    AdaptiveMesh. Refine marks take precedence over coarsen marks.
+    Returns (space_new, x_new).
     """
     mesh = space_old.mesh
     if not isinstance(mesh, AdaptiveMesh):
         amesh = AdaptiveMesh(mesh.lower, mesh.upper, mesh.cells)
         # same element order (lexicographic) by construction
         mesh = amesh
+    marks = np.asarray(marks, dtype=bool)
+    if coarsen_marks is not None and np.any(coarsen_marks):
+        cm = np.asarray(coarsen_marks, dtype=bool) & ~marks
+        marked_centers = mesh.element_centers()[marks]
+        mesh_c = mesh.coarsen(cm)
+        space_c = FunctionSpace(mesh_c, space_old.fem, name=space_old.name)
+        x_old = jnp.asarray(
+            evaluate_fe(space_old, x_old, space_c.dof_coords()),
+            jnp.asarray(x_old).dtype)
+        space_old, mesh = space_c, mesh_c
+        # refine marks carry over to the (identical — never coarsened)
+        # leaves of the new mesh, located by element center
+        marks = np.zeros(mesh.nelements, dtype=bool)
+        if len(marked_centers):
+            elems, _ = mesh.locate(marked_centers)
+            marks[elems] = True
     mesh_new = mesh.refine(marks)
     space_new = FunctionSpace(mesh_new, space_old.fem, name=space_old.name)
     pts = space_new.dof_coords()

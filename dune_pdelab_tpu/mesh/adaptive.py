@@ -337,6 +337,99 @@ class AdaptiveMesh:
                             levels=levels[order], origins=origins[order],
                             max_level=new_max)
 
+    def coarsen(self, marks) -> "AdaptiveMesh":
+        """Merge sibling groups back into their parent (the coarsen
+        direction of the reference's mark_grid/adapt_grid, reference:
+        dune/pdelab/adaptivity/adaptivity.hh:1029,632).
+
+        Conservative semantics matching dune-grid: a parent is un-refined
+        only when ALL 2^dim children are leaves and ALL are marked; merges
+        that would break 2:1 face balance (leaving a neighbor 2+ levels
+        finer) are cancelled."""
+        marks = np.asarray(marks, dtype=bool)
+        assert marks.shape == (self.nelements,)
+        leaf_marked = {
+            (int(self.levels[e]), tuple(self.origins[e])): bool(marks[e])
+            for e in range(self.nelements)
+        }
+        # candidate parents: all 2^dim children present + marked
+        merges = set()
+        for (lvl, org), m in leaf_marked.items():
+            if not m or lvl == 0:
+                continue
+            s = self.cell_size(lvl)
+            porg = tuple((o // (2 * s)) * (2 * s) for o in org)
+            if all(
+                leaf_marked.get(
+                    (lvl, tuple(p + s * b for p, b in zip(porg, bits))),
+                    False)
+                for bits in itertools.product((0, 1), repeat=self.dim)
+            ):
+                merges.add((lvl - 1, porg))
+
+        def children_of(lvl, org):
+            s = self.cell_size(lvl + 1)
+            return [(lvl + 1, tuple(o + s * b for o, b in zip(org, bits)))
+                    for bits in itertools.product((0, 1), repeat=self.dim)]
+
+        # apply merges, then cancel any that break 2:1 balance (a cancel
+        # only makes neighbors finer-side happy, so iterate to fixpoint)
+        while True:
+            leaves = dict(leaf_marked)
+            for p in merges:
+                for c in children_of(*p):
+                    leaves.pop(c, None)
+                leaves[p] = False
+            index = set(leaves)
+
+            def leaf_level_at(point):
+                if any(q < 0 or q >= r for q, r in zip(point, self.res)):
+                    return None
+                for lv in range(self.max_level, -1, -1):
+                    s = self.cell_size(lv)
+                    org = tuple((q // s) * s for q in point)
+                    if (lv, org) in index:
+                        return lv
+                return None
+
+            cancelled = set()
+            for (lvl, org) in merges:
+                s = self.cell_size(lvl)
+                bad = False
+                for d in range(self.dim):
+                    for side in (-1, 1):
+                        # probe a line of fine cells along the face
+                        for bits in itertools.product(
+                                (0, 1), repeat=self.dim):
+                            probe = [o + (s // 2) * b
+                                     for o, b in zip(org, bits)]
+                            probe[d] = org[d] - 1 if side == -1 \
+                                else org[d] + s
+                            nb = leaf_level_at(tuple(probe))
+                            if nb is not None and nb > lvl + 1:
+                                bad = True
+                                break
+                        if bad:
+                            break
+                    if bad:
+                        break
+                if bad:
+                    cancelled.add((lvl, org))
+            if not cancelled:
+                break
+            merges -= cancelled
+
+        levels = np.array([l for (l, _) in leaves], dtype=np.int64)
+        origins = np.array([o for (_, o) in leaves], dtype=np.int64)
+        order = np.lexsort(tuple(origins[:, d]
+                                 for d in range(self.dim - 1, -1, -1)))
+        new_max = int(levels.max()) if len(levels) else 0
+        scale = 2 ** (self.max_level - new_max)
+        return AdaptiveMesh(self.lower, self.upper, self.coarse_cells,
+                            levels=levels[order],
+                            origins=origins[order] // scale,
+                            max_level=new_max)
+
     def __repr__(self):
         lv, ct = np.unique(self.levels, return_counts=True)
         dist = ", ".join(f"L{int(l)}:{int(c)}" for l, c in zip(lv, ct))

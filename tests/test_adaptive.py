@@ -265,3 +265,48 @@ def test_transfer_preserves_linear():
     V2, x2 = adapt_local(V, x, marks)
     xref = V2.interpolate(lambda q: 3.0 * q[:, 0] - q[:, 1])
     assert float(jnp.abs(x2 - xref).max()) < 1e-12
+
+
+@pytest.mark.fast
+def test_coarsen_roundtrip_and_balance():
+    """Coarsening merges sibling-complete marked groups, cancels merges
+    that would break 2:1 balance (reference: mark_grid coarsen direction,
+    adaptivity.hh:1029)."""
+    m0 = AdaptiveMesh([0, 0], [1, 1], (4, 4))
+    marks = np.zeros(m0.nelements, bool)
+    marks[:4] = True
+    m1 = m0.refine(marks)
+    # full coarsen returns to the base mesh
+    m2 = m1.coarsen(np.ones(m1.nelements, bool))
+    assert m2.nelements == m0.nelements
+    assert m2.max_level == 0
+    # two-level mesh: coarsening level-1 groups adjacent to level-2 leaves
+    # is cancelled; elsewhere it proceeds
+    marks = np.zeros(m1.nelements, bool)
+    marks[np.nonzero(m1.levels == 1)[0][:1]] = True
+    m3 = m1.refine(marks)
+    m4 = m3.coarsen(m3.levels == 1)
+    assert m4.nelements < m3.nelements        # some merges applied
+    assert (m4.levels == 2).sum() == 4        # finest cells untouched
+    assert (m4.levels == 1).sum() > 0         # balance guard kept some L1
+
+
+@pytest.mark.fast
+def test_adapt_local_with_coarsening_transfer():
+    """Mixed refine+coarsen through adapt_local transfers P1 exactly."""
+    from dune_pdelab_tpu.adaptivity.local import adapt_local
+
+    m0 = AdaptiveMesh([0, 0], [1, 1], (4, 4))
+    marks = np.zeros(m0.nelements, bool)
+    marks[:4] = True
+    m1 = m0.refine(marks)
+    V1 = FunctionSpace(m1, QkFEM(1, 2))
+    lin = lambda p: 2 * np.atleast_2d(p)[:, 0] - 0.5 * np.atleast_2d(p)[:, 1] + 1
+    x1 = V1.interpolate(lambda q: lin(q))
+    rm = np.zeros(m1.nelements, bool)
+    rm[-2:] = True
+    cm = np.zeros(m1.nelements, bool)
+    cm[:8] = True
+    Vm, xm = adapt_local(V1, x1, rm, coarsen_marks=cm)
+    xe = Vm.interpolate(lambda q: lin(q))
+    assert float(jnp.max(jnp.abs(xm - xe))) < 1e-12
