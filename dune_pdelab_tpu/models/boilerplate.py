@@ -40,10 +40,19 @@ def CGSpace(mesh, degree: int = 1, name: str = "u"):
 
 def DGSpace(mesh, degree: int = 1, variant: str = "equidistant",
             name: str = "u"):
-    """DG space; variant in {'equidistant','gl','lobatto','legendre'}
-    (DG{Qk,QkGL,QkOPB,Legendre}Space analogs, boilerplate/pdelab.hh:890)."""
-    fem = (LegendreDGFEM(degree, mesh.dim) if variant == "legendre"
-           else QkDGFEM(degree, mesh.dim, variant))
+    """DG space; variant in {'equidistant','gl','lobatto','legendre',
+    'opb','monomial'} (DG{Qk,QkGL,QkOPB,Legendre}Space analogs,
+    boilerplate/pdelab.hh:890)."""
+    if variant == "legendre":
+        fem = LegendreDGFEM(degree, mesh.dim)
+    elif variant == "opb":
+        from dune_pdelab_tpu.fe.basis import OPBFEM
+        fem = OPBFEM(degree, mesh.dim, geometry=mesh.geometry_type)
+    elif variant == "monomial":
+        from dune_pdelab_tpu.fe.basis import MonomialDGFEM
+        fem = MonomialDGFEM(degree, mesh.dim, geometry=mesh.geometry_type)
+    else:
+        fem = QkDGFEM(degree, mesh.dim, variant)
     return FunctionSpace(mesh, fem, name=name)
 
 
