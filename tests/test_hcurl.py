@@ -177,3 +177,33 @@ def test_simplex_curlcurl_spd_solve():
     assert bool(s.converged)
     r = np.asarray(go.residual(jnp.asarray(x)))
     assert np.linalg.norm(r) < 1e-8
+
+
+@pytest.mark.fast
+def test_maxwell_eigenvalues_unit_square():
+    """Maxwell cavity eigenvalues on the unit square with PEC boundary:
+    curl curl E = lambda E gives lambda = pi^2 (m^2 + n^2) for the nonzero
+    TE modes (the reference testelectrodynamic.cc stored-eigenvalue oracle).
+    Nedelec elements are spurious-free: besides the gradient kernel (lambda
+    = 0), the smallest computed eigenvalues match pi^2 {1, 1, 2, 4, 4}."""
+    import scipy.linalg as sla
+    from dune_pdelab_tpu.ops.electrodynamic import CurlCurl, CurlCurlParameters
+
+    mesh = StructuredMesh([0, 0], [1, 1], (16, 16))
+    V = FunctionSpace(mesh, N0Cube(2))
+    # stiffness (beta=0) and mass (nu=0, beta=1) through the same kernel
+    goA = GridOperator(V, CurlCurl(CurlCurlParameters(nu=1.0, beta=0.0)))
+    goM = GridOperator(V, CurlCurl(CurlCurlParameters(nu=0.0, beta=1.0)))
+    A = np.asarray(goA.jacobian(V.zero()).todense())
+    M = np.asarray(goM.jacobian(V.zero()).todense())
+    # PEC: eliminate tangential boundary edges (n x E = 0)
+    free = ~V.boundary_edge_mask()
+    A = A[np.ix_(free, free)]
+    M = M[np.ix_(free, free)]
+    lam = np.sort(sla.eigh(A, M, eigvals_only=True))
+    nz = lam[lam > 1e-6] / np.pi**2
+    expect = np.array([1.0, 1.0, 2.0, 4.0, 4.0])
+    assert np.allclose(nz[:5], expect, rtol=0.02), nz[:8]
+    # gradient fields span the kernel: dim ker = #interior vertices
+    nker = int(np.sum(lam <= 1e-6))
+    assert nker == 15 * 15, nker
