@@ -1,0 +1,185 @@
+"""Block-stencil compilation: translation-invariant DG operators as
+shift-matmul kernels.
+
+The DG counterpart of `assembly/stencil.py` (which compiles C0 Qk operators
+into scalar shift-MACs): on a uniform structured mesh a linear
+translation-invariant DG operator (SIPG/NIPG/IIPG convection-diffusion,
+DG mass, ...) assembles into a BLOCK convolution over the element lattice —
+every interior element row is the same set of (2*dim+1) nb-by-nb blocks
+(volume + face coupling to each face neighbor). The apply is then
+
+    out[e] = sum_taps  W_t @ z[e + off_t]      (one batched matmul per tap)
+
+which is the fastest assembled form on TPU: the element axis streams
+through the MXU with no gathers and no per-element intermediates. Boundary
+elements differ from interior ones only through their boundary-face terms;
+since face contributions are ADDITIVE, the difference is one diagonal
+correction block per side, applied to the side's element slab (corners get
+the sum of their sides' corrections — verified by a probe at compile time).
+
+This is the TPU replacement for the reference's assembled BCRS path for DG
+spaces (reference: dune/pdelab/backend/istl/bcrsmatrix.hh; the FastDG
+blocked matrices of dune/pdelab/gridoperator/fastdg/): instead of N*nb*5
+stored CSR blocks, the operator is (2*dim+1+2*dim) nb^2 numbers + shifts.
+"""
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class BlockStencilOperator:
+    """y = block_stencil(z) on an element-lattice DG layout."""
+
+    def __init__(self, cells, nb, W_taps, offsets, dD_sides, dtype=None):
+        self.cells = tuple(cells)        # element lattice dims, dim0 fastest
+        self.nb = int(nb)
+        self.W_taps = np.asarray(W_taps)       # (ntaps, nb, nb)
+        self.offsets = np.asarray(offsets)     # (ntaps, dim)
+        self.dD_sides = np.asarray(dD_sides)   # (dim, 2, nb, nb)
+        self._apply = jax.jit(self._apply_impl)
+
+    @property
+    def ndofs(self):
+        return int(np.prod(self.cells)) * self.nb
+
+    def _apply_impl(self, z):
+        cells = self.cells
+        dim = len(cells)
+        nb = self.nb
+        grid_shape = tuple(reversed(cells)) + (nb,)     # C-order, nb last
+        zb = z.reshape(grid_shape)
+        W = jnp.asarray(self.W_taps, z.dtype)
+        out = None
+        pad = [(1, 1)] * dim + [(0, 0)]
+        gp = jnp.pad(zb, pad)
+        for t, off in enumerate(self.offsets):
+            start = tuple(1 + int(off[d]) for d in reversed(range(dim)))
+            piece = lax.dynamic_slice(gp, start + (0,), grid_shape)
+            term = jnp.einsum("...b,ab->...a", piece, W[t])
+            out = term if out is None else out + term
+        # boundary corrections: one diagonal block per side, additive
+        dD = jnp.asarray(self.dD_sides, z.dtype)
+        for d in range(dim):
+            ax = dim - 1 - d                            # C-order axis of dim d
+            for side in (0, 1):
+                sl = [slice(None)] * (dim + 1)
+                sl[ax] = slice(0, 1) if side == 0 else slice(-1, None)
+                sl = tuple(sl)
+                corr = jnp.einsum("...b,ab->...a", zb[sl], dD[d, side])
+                out = out.at[sl].add(corr)
+        return out.reshape(-1)
+
+    def __call__(self, z):
+        return self._apply(z)
+
+
+def _dg_layout_ok(space):
+    fem = space.fem
+    mesh = space.mesh
+    return (getattr(space, "is_leaf", False)
+            and fem.continuity == "DG"
+            and mesh.geometry_type == "cube"
+            and mesh.uniform
+            and not any(mesh.periodic))
+
+
+def compile_block_stencil(go, x_lin=None, time=0.0, check=True):
+    """Build a BlockStencilOperator equivalent to go.jacobian_apply.
+
+    Returns None when the operator/space does not qualify (needs a
+    single-leaf DG space on a uniform non-periodic cube mesh, a linear
+    x-independent local operator, and no Dirichlet-constrained DOFs —
+    DG boundary conditions are weak)."""
+    space = go.space
+    if not _dg_layout_ok(space):
+        return None
+    if not getattr(go.lop, "is_linear", False):
+        return None
+    if go.cg is not None and go.cg.nconstrained > 0:
+        return None
+    mesh = space.mesh
+    dim = mesh.dim
+    nb = space.fem.nbasis
+    cells = tuple(mesh.cells)
+    if any(c < 5 for c in cells):
+        return None
+
+    # huge meshes: probe a proxy mesh with the same spacing (translation
+    # invariance makes the blocks identical; see stencil.py)
+    if mesh.nelements > 200_000 and x_lin is None:
+        from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+        from dune_pdelab_tpu.space.space import FunctionSpace
+        pc = (6,) * dim
+        mesh_p = type(mesh)(mesh.lower,
+                            mesh.lower + np.array(pc) * mesh.h, pc)
+        V_p = FunctionSpace(mesh_p, space.fem)
+        go_p = GridOperator(V_p, go.lop, quad_order=go.qorder)
+        st_p = compile_block_stencil(go_p, None, time, check)
+        if st_p is None:
+            return None
+        return BlockStencilOperator(cells, nb, st_p.W_taps, st_p.offsets,
+                                    st_p.dD_sides)
+
+    if x_lin is None:
+        x_lin = jnp.zeros(space.ndofs)
+
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(1, dim):
+        strides[d] = strides[d - 1] * cells[d - 1]
+
+    def eidx(g):
+        return int(np.dot(g, strides))
+
+    def column_blocks(e_mi, rows):
+        """Probe all nb columns of element e_mi; return {row_e: (nb, nb)}
+        with block[i, j] = J[(row_e, i), (e_mi, j)]."""
+        blocks = {r: np.zeros((nb, nb)) for r in rows}
+        for j in range(nb):
+            e = jnp.zeros(space.ndofs).at[eidx(e_mi) * nb + j].set(1.0)
+            col = np.asarray(go.jacobian_apply(x_lin, e, time))
+            for r in rows:
+                blocks[r][:, j] = col[r * nb:(r + 1) * nb]
+        return blocks
+
+    # interior probe: center element far from every boundary
+    c_mi = np.array([2] * dim)
+    offsets = [np.zeros(dim, dtype=np.int64)]
+    for d in range(dim):
+        for s in (-1, 1):
+            off = np.zeros(dim, dtype=np.int64)
+            off[d] = s
+            offsets.append(off)
+    offsets = np.array(offsets)
+    rows = [eidx(c_mi - off) for off in offsets]
+    blocks = column_blocks(c_mi, rows)
+    W_taps = np.stack([blocks[eidx(c_mi - off)] for off in offsets])
+    D_int = W_taps[0]
+
+    # per-side diagonal corrections: probe a mid-side element
+    dD = np.zeros((dim, 2, nb, nb))
+    for d in range(dim):
+        for si, s in enumerate((0, 1)):
+            m = np.array([2] * dim)
+            m[d] = 0 if s == 0 else cells[d] - 1
+            b = column_blocks(m, [eidx(m)])
+            dD[d, si] = b[eidx(m)] - D_int
+
+    if check:
+        # translation invariance: interior diagonal at a shifted element
+        c2 = c_mi + 1
+        b2 = column_blocks(c2, [eidx(c2)])
+        if not np.allclose(b2[eidx(c2)], D_int, atol=1e-9):
+            return None
+        # corner additivity: D_corner == D_int + sum of side corrections
+        corner = np.zeros(dim, dtype=np.int64)
+        bc = column_blocks(corner, [eidx(corner)])
+        expect = D_int + sum(dD[d, 0] for d in range(dim))
+        if not np.allclose(bc[eidx(corner)], expect, atol=1e-9):
+            return None
+
+    return BlockStencilOperator(cells, nb, W_taps, offsets, dD)

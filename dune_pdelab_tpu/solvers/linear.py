@@ -64,6 +64,16 @@ class LinearSolverBackend:
                 st = compile_stencil(go, x_lin, time)
             except Exception:
                 st = None
+            if st is None:
+                # DG spaces: block-stencil form (shift-matmul over the
+                # element lattice, assembly/blockstencil.py)
+                from dune_pdelab_tpu.assembly.blockstencil import (
+                    compile_block_stencil,
+                )
+                try:
+                    st = compile_block_stencil(go, x_lin, time)
+                except Exception:
+                    st = None
             if st is not None:
                 # prefer the Pallas tiled lowering (single HBM pass per
                 # apply) on real TPU devices when the grid qualifies
