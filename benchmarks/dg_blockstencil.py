@@ -3,8 +3,11 @@ transfers) vs compiled block stencil (shift-matmuls). Run on TPU:
 
     python benchmarks/dg_blockstencil.py [n] [reps]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -59,8 +62,9 @@ def main():
         gb = 2 * N * 4 / dt / 1e9               # read z + write y
         print(f"{name:14s}: {dt*1e3:8.3f} ms/apply  {N/dt/1e6:9.1f} Mdof/s "
               f" (~{gb:.0f} GB/s effective)")
-    d = float(jnp.max(jnp.abs(gen(z) - st(z))))
-    print(f"max |general - stencil| = {d:.2e}")
+    y1, y2 = gen(z), st(z)
+    d = float(jnp.max(jnp.abs(y1 - y2))) / max(1.0, float(jnp.max(jnp.abs(y1))))
+    print(f"rel max |general - stencil| = {d:.2e}")
 
 
 if __name__ == "__main__":

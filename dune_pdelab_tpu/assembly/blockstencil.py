@@ -47,21 +47,38 @@ class BlockStencilOperator:
     def ndofs(self):
         return int(np.prod(self.cells)) * self.nb
 
+    def _conv_kernel(self):
+        """(nb_out, nb_in, 3, ..., 3) cross-correlation kernel: spatial
+        index (i_d + 1) along dim d holds tap W for offset i_d."""
+        dim = len(self.cells)
+        K = np.zeros((self.nb, self.nb) + (3,) * dim)
+        for t, off in enumerate(self.offsets):
+            # conv spatial dims follow the grid's C-order (slowest dim
+            # first): spatial axis s corresponds to mesh dim (dim-1-s)
+            idx = tuple(int(off[dim - 1 - s]) + 1 for s in range(dim))
+            K[(slice(None), slice(None)) + idx] = self.W_taps[t]
+        return K
+
     def _apply_impl(self, z):
         cells = self.cells
         dim = len(cells)
         nb = self.nb
-        grid_shape = tuple(reversed(cells)) + (nb,)     # C-order, nb last
-        zb = z.reshape(grid_shape)
-        W = jnp.asarray(self.W_taps, z.dtype)
-        out = None
-        pad = [(1, 1)] * dim + [(0, 0)]
-        gp = jnp.pad(zb, pad)
-        for t, off in enumerate(self.offsets):
-            start = tuple(1 + int(off[d]) for d in reversed(range(dim)))
-            piece = lax.dynamic_slice(gp, start + (0,), grid_shape)
-            term = jnp.einsum("...b,ab->...a", piece, W[t])
-            out = term if out is None else out + term
+        grid_rev = tuple(reversed(cells))               # C-order spatial dims
+        zb = z.reshape(grid_rev + (nb,))
+        # the tap pass IS a multi-channel cross-correlation: channels = the
+        # nb local DG modes, 3^dim spatial kernel of block weights — the
+        # form XLA lowers straight onto the MXU (NCHW / NCDHW layout)
+        zc = jnp.moveaxis(zb, -1, 0)[None]              # (1, nb, *grid_rev)
+        K = jnp.asarray(self._conv_kernel(), z.dtype)
+        dn = lax.conv_dimension_numbers(
+            zc.shape, K.shape,
+            ("NCHW", "OIHW", "NCHW") if dim == 2 else
+            ("NCDHW", "OIDHW", "NCDHW") if dim == 3 else
+            ("NCW", "OIW", "NCW"))
+        out_c = lax.conv_general_dilated(
+            zc, K, window_strides=(1,) * dim, padding="SAME",
+            dimension_numbers=dn)
+        out = jnp.moveaxis(out_c[0], 0, -1)             # (*grid_rev, nb)
         # boundary corrections: one diagonal block per side, additive
         dD = jnp.asarray(self.dD_sides, z.dtype)
         for d in range(dim):
