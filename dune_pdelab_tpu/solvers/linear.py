@@ -66,7 +66,8 @@ class LinearSolverBackend:
                 st = None
             if st is None:
                 # DG spaces: block-stencil form (shift-matmul over the
-                # element lattice, assembly/blockstencil.py)
+                # element lattice, assembly/blockstencil.py); on TPU prefer
+                # the Pallas single-pass lowering
                 from dune_pdelab_tpu.assembly.blockstencil import (
                     compile_block_stencil,
                 )
@@ -74,6 +75,17 @@ class LinearSolverBackend:
                     st = compile_block_stencil(go, x_lin, time)
                 except Exception:
                     st = None
+                if st is not None:
+                    import jax
+                    if jax.default_backend() not in ("cpu",):
+                        try:
+                            from dune_pdelab_tpu.assembly.\
+blockstencil_pallas import try_pallas_block_stencil
+                            pk = try_pallas_block_stencil(st)
+                            if pk is not None:
+                                st = pk
+                        except Exception:
+                            pass
             if st is not None:
                 # prefer the Pallas tiled lowering (single HBM pass per
                 # apply) on real TPU devices when the grid qualifies

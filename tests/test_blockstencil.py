@@ -117,3 +117,27 @@ def test_block_stencil_rejects_nonqualifying():
     Vdg = FunctionSpace(mesh, QkDGFEM(1, 2))
     go2 = GridOperator(Vdg, ConvectionDiffusionDG(VarCoeff()))
     assert compile_block_stencil(go2) is None
+
+
+def test_pallas_block_stencil_interpret_parity():
+    """Pallas lowering (interpret mode on CPU): fp32 parity with the
+    general apply for Q1 and Q2 DG, including the x-edge un-wrap and side
+    corrections."""
+    from dune_pdelab_tpu.assembly.blockstencil_pallas import (
+        try_pallas_block_stencil,
+    )
+
+    for fem, cells in ((QkDGFEM(1, 2), (9, 7)), (QkDGFEM(2, 2), (8, 6))):
+        mesh = StructuredMesh([0, 0], [1, 1], cells)
+        V = FunctionSpace(mesh, fem)
+        go = GridOperator(V, ConvectionDiffusionDG(ConvDiff()))
+        st = compile_block_stencil(go)
+        pk = try_pallas_block_stencil(st, interpret=True)
+        assert pk is not None
+        z = jnp.asarray(
+            np.random.default_rng(0).standard_normal(V.ndofs), jnp.float32)
+        y1 = np.asarray(go.jacobian_apply(
+            jnp.zeros(V.ndofs, jnp.float32), z))
+        y2 = np.asarray(pk(z))
+        rel = np.abs(y1 - y2).max() / max(1.0, np.abs(y1).max())
+        assert rel < 1e-5, (fem, rel)
