@@ -200,3 +200,113 @@ def compile_block_stencil(go, x_lin=None, time=0.0, check=True):
             return None
 
     return BlockStencilOperator(cells, nb, W_taps, offsets, dD)
+
+
+class BlockEllMatrix:
+    """Assembled DG operator with per-element block taps: the
+    variable-coefficient generalization of BlockStencilOperator (and the
+    DG counterpart of the lattice-ELL matrix, assembly/ell.py):
+
+        A[(e, a), (e + off_t, b)] = values[t][e, a, b]
+
+    SpMV = sum_t einsum over the element lattice with shifted operands —
+    batched (E, nb) x (E, nb, nb) contractions, no gathers."""
+
+    def __init__(self, cells, nb, offsets, values):
+        self.cells = tuple(cells)            # element lattice, dim0 fastest
+        self.nb = int(nb)
+        self.offsets = np.asarray(offsets)   # (ntaps, dim)
+        self.values = values                 # (ntaps, *grid_rev, nb, nb) jnp
+        self._apply = jax.jit(self._apply_impl)
+
+    @property
+    def ndofs(self):
+        return int(np.prod(self.cells)) * self.nb
+
+    def _apply_impl(self, z):
+        cells = self.cells
+        dim = len(cells)
+        grid_rev = tuple(reversed(cells))
+        zb = z.reshape(grid_rev + (self.nb,))
+        pad = [(1, 1)] * dim + [(0, 0)]
+        gp = jnp.pad(zb, pad)
+        out = None
+        V = self.values.astype(z.dtype)
+        for t, off in enumerate(self.offsets):
+            start = tuple(1 + int(off[d]) for d in reversed(range(dim)))
+            piece = lax.dynamic_slice(gp, start + (0,),
+                                      grid_rev + (self.nb,))
+            term = jnp.einsum("...ab,...b->...a", V[t], piece)
+            out = term if out is None else out + term
+        return out.reshape(-1)
+
+    def __call__(self, z):
+        return self._apply(z)
+
+    def pattern_stats(self):
+        E = int(np.prod(self.cells))
+        ntaps = len(self.offsets)
+        nnz = E * ntaps * self.nb * self.nb
+        return {"rows": E * self.nb, "ntaps": ntaps, "block": self.nb,
+                "nnz_stored": nnz,
+                "bytes_values": int(np.asarray(self.values).nbytes)}
+
+
+def assemble_block_ell(go, x_lin=None, time=0.0):
+    """Assemble go's Jacobian at x_lin as a BlockEllMatrix.
+
+    Valid for variable coefficients and nonlinear operators (linearization
+    at x_lin), unlike compile_block_stencil. Probing uses element coloring
+    (coords mod 3 per dim: face-coupled columns never share a row block),
+    so assembly costs 3^dim * nb jacobian_apply sweeps. Returns None when
+    the space does not qualify (single-leaf DG, cube mesh, non-periodic,
+    no constrained DOFs)."""
+    space = go.space
+    if not _dg_layout_ok(space):
+        return None
+    if go.cg is not None and go.cg.nconstrained > 0:
+        return None
+    mesh = space.mesh
+    dim = mesh.dim
+    nb = space.fem.nbasis
+    cells = tuple(mesh.cells)
+    grid_rev = tuple(reversed(cells))
+    E = mesh.nelements
+    if x_lin is None:
+        x_lin = jnp.zeros(space.ndofs)
+
+    offsets = [np.zeros(dim, dtype=np.int64)]
+    for d in range(dim):
+        for s in (-1, 1):
+            off = np.zeros(dim, dtype=np.int64)
+            off[d] = s
+            offsets.append(off)
+    offsets = np.array(offsets)
+    ntaps = len(offsets)
+
+    emi = np.stack(np.meshgrid(*[np.arange(n) % 3 for n in grid_rev],
+                               indexing="ij"), axis=0)   # (dim, *grid_rev)
+
+    probe = jax.jit(lambda e: go.jacobian_apply(x_lin, e, time))
+
+    values = np.zeros((ntaps,) + grid_rev + (nb, nb))
+    for color in itertools.product(*[range(min(3, n)) for n in grid_rev]):
+        sel = np.ones(grid_rev, bool)
+        for a in range(dim):
+            sel &= emi[a] == color[a]
+        if not sel.any():
+            continue
+        for j in range(nb):
+            e = np.zeros(grid_rev + (nb,))
+            e[sel, j] = 1.0
+            col = np.asarray(probe(jnp.asarray(e.reshape(-1))))
+            col = col.reshape(grid_rev + (nb,))
+            for t in range(ntaps):
+                off_g = offsets[t][::-1]                 # grid-axis order
+                start = [(color[a] - int(off_g[a])) % 3
+                         for a in range(dim)]
+                if any(start[a] >= grid_rev[a] for a in range(dim)):
+                    continue
+                sl = tuple(slice(start[a], None, 3) for a in range(dim))
+                values[(t,) + sl + (slice(None), j)] = col[sl]
+    return BlockEllMatrix(cells, nb, offsets, jnp.asarray(values))

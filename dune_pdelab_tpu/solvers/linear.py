@@ -240,6 +240,15 @@ blockstencil_pallas import try_pallas_block_stencil
                         tiled = try_pallas_tiled_ell(mat)
                         if tiled is not None:
                             mat = tiled
+                    if mat is None:
+                        # DG spaces: per-element block taps (block-ELL)
+                        from dune_pdelab_tpu.assembly.blockstencil import (
+                            assemble_block_ell,
+                        )
+                        try:
+                            mat = assemble_block_ell(go, x_lin, time)
+                        except Exception:
+                            mat = None
                 if mat is None:
                     mat = go.jacobian(x_lin, time)
                 self._setup_cache[mkey] = mat

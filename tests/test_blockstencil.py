@@ -141,3 +141,63 @@ def test_pallas_block_stencil_interpret_parity():
         y2 = np.asarray(pk(z))
         rel = np.abs(y1 - y2).max() / max(1.0, np.abs(y1).max())
         assert rel < 1e-5, (fem, rel)
+
+
+class VarCoeffProblem(ConvectionDiffusionProblem):
+    """Variable diffusion + rotation + reaction (not translation invariant)."""
+
+    def A(self, x):
+        return 1.0 + 0.5 * jnp.sin(2 * x[..., 0]) * jnp.cos(x[..., 1])
+
+    def b(self, x):
+        return jnp.stack([x[..., 1], -x[..., 0]], axis=-1)
+
+    def c(self, x):
+        return 1.0 + x[..., 0]
+
+    def f(self, x):
+        return jnp.ones(x.shape[:-1])
+
+    def g(self, x):
+        return jnp.zeros(x.shape[:-1])
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_block_ell_variable_coefficients(k):
+    """Assembled block-ELL matches the matrix-free apply exactly for
+    variable-coefficient SIPG (where the block stencil refuses)."""
+    from dune_pdelab_tpu.assembly.blockstencil import assemble_block_ell
+
+    mesh = StructuredMesh([0, 0], [1, 1], (9, 7))
+    V = FunctionSpace(mesh, QkDGFEM(k, 2))
+    go = GridOperator(V, ConvectionDiffusionDG(VarCoeffProblem()))
+    assert compile_block_stencil(go) is None     # not translation invariant
+    bm = assemble_block_ell(go)
+    assert bm is not None
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(V.ndofs))
+    d = float(jnp.max(jnp.abs(go.jacobian_apply(V.zero(), z) - bm(z))))
+    assert d < 1e-10, d
+    stats = bm.pattern_stats()
+    assert stats["rows"] == V.ndofs and stats["ntaps"] == 5
+
+
+def test_block_ell_assembled_solve_matches_matrix_free():
+    """Assembled (matrix_free=False) DG solve through the backend picks the
+    block-ELL path and matches the matrix-free solve (the
+    matrix_free_linear.cc oracle for DG)."""
+    mesh = StructuredMesh([0, 0], [1, 1], (16, 16))
+    V = FunctionSpace(mesh, QkDGFEM(1, 2))
+    go = GridOperator(V, ConvectionDiffusionDG(VarCoeffProblem()))
+    out = {}
+    for mf in (True, False):
+        ls = LinearSolverBackend(solver="bicgstab", precond="block_jacobi",
+                                 maxiter=5000, matrix_free=mf,
+                                 use_stencil=False)
+        slp = StationaryLinearProblemSolver(go, ls, reduction=1e-11)
+        x = slp.apply(V.zero())
+        assert slp.result.converged
+        if not mf:
+            mat = ls._setup_cache.get((id(go), "matval"))
+            assert type(mat).__name__ == "BlockEllMatrix"
+        out[mf] = x
+    assert float(jnp.max(jnp.abs(out[True] - out[False]))) < 1e-8
