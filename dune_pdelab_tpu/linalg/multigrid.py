@@ -90,12 +90,18 @@ class GeometricMultigrid:
 
     def __init__(self, lop, mesh, fem, bctype=None, nlevels=None,
                  pre_sweeps=2, post_sweeps=2, omega=0.67, cycle="v",
-                 quad_order=None, coarsest_cells=2):
+                 quad_order=None, coarsest_cells=2, smoother="jacobi"):
         self.lop = lop
         self.omega = omega
         self.pre = pre_sweeps
         self.post = post_sweeps
         self.cycle = cycle
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        # chebyshev: polynomial smoothing on [lmax/4, lmax] per level (the
+        # TPU-friendly strong smoother — no sequential sweeps; sweep counts
+        # become the polynomial degree)
+        self.smoother = smoother
         meshes = [mesh]
         while (nlevels is None or len(meshes) < nlevels):
             m = meshes[-1]
@@ -138,6 +144,13 @@ class GeometricMultigrid:
         self._time = time
         self._diags = [go.jacobian_diagonal(x, time)
                        for go, x in zip(self.gos, xs)]
+        if self.smoother == "chebyshev":
+            from dune_pdelab_tpu.linalg.preconditioners import power_iteration
+            self._lmax = [
+                power_iteration(lambda z, go=go, x=x: go.jacobian_apply(
+                    x, z, time), d, s.ndofs, dtype=d.dtype)
+                for go, x, d, s in zip(self.gos, xs, self._diags, self.spaces)
+            ]
         Ac = np.asarray(self.gos[-1].jacobian(xs[-1], time).todense())
         import scipy.linalg as sla
         lu, piv = sla.lu_factor(Ac)
@@ -156,12 +169,28 @@ class GeometricMultigrid:
         ncoarse = self.spaces[-1].ndofs
         coarse_lu = self._coarse_lu
 
-        def smooth(l, z, r, sweeps):
-            for _ in range(sweeps):
-                z = z + omega * (r - gos[l].jacobian_apply(xs[l], z, time)) / diags[l]
+        if self.smoother == "chebyshev":
+            from dune_pdelab_tpu.linalg.preconditioners import chebyshev
+            chebs = [
+                chebyshev(lambda z, l=l: gos[l].jacobian_apply(xs[l], z, time),
+                          diags[l], self._lmax[l], lambda_min_ratio=0.25,
+                          degree=max(self.pre, self.post))
+                for l in range(L)
+            ]
+
+            def smooth(l, z, r, sweeps):
+                res = r - gos[l].jacobian_apply(xs[l], z, time)
+                z = z + chebs[l](res)
                 if masks[l] is not None:
-                    z = jnp.where(masks[l], r, z)  # constrained: z = r (unit diag)
-            return z
+                    z = jnp.where(masks[l], r, z)
+                return z
+        else:
+            def smooth(l, z, r, sweeps):
+                for _ in range(sweeps):
+                    z = z + omega * (r - gos[l].jacobian_apply(xs[l], z, time)) / diags[l]
+                    if masks[l] is not None:
+                        z = jnp.where(masks[l], r, z)  # constrained: z = r (unit diag)
+                return z
 
         def vcycle(l, r):
             if l == L - 1:
