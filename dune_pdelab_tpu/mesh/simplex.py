@@ -43,6 +43,79 @@ class SimplexMesh:
 
     # -- construction --------------------------------------------------------
     @classmethod
+    def from_gmsh(cls, path):
+        """Read a Gmsh MSH 2.x ASCII file (the mesh format of the reference
+        test grids, reference: dune/pdelab/test/grids/*.msh read through
+        dune-grid's GmshReader).
+
+        Triangles (element type 2) make a 2D mesh, tetrahedra (type 4) a 3D
+        mesh (tets win when both appear — the triangles are then boundary
+        facets). Physical tags are kept: `cell_tags` (E,) per cell, and
+        `facet_tags` maps a sorted boundary-facet vertex tuple to its
+        physical id (for region-wise boundary conditions)."""
+        with open(path) as f:
+            lines = f.read().split("\n")
+        i = 0
+
+        def seek(section):
+            nonlocal i
+            while i < len(lines) and lines[i].strip() != section:
+                i += 1
+            if i == len(lines):
+                raise ValueError(f"{section} not found in {path}")
+            i += 1
+
+        seek("$MeshFormat")
+        ver = lines[i].split()[0]
+        if not ver.startswith("2"):
+            raise NotImplementedError(
+                f"MSH format {ver}: only the 2.x ASCII format is supported "
+                "(export from gmsh with -format msh22)")
+        seek("$Nodes")
+        nn = int(lines[i]); i += 1
+        coords = np.empty((nn, 3))
+        idmap = {}
+        for r in range(nn):
+            parts = lines[i + r].split()
+            idmap[int(parts[0])] = r
+            coords[r] = [float(parts[1]), float(parts[2]), float(parts[3])]
+        i += nn
+        seek("$Elements")
+        ne = int(lines[i]); i += 1
+        tris, tritags, tets, tettags, lines2, linetags = [], [], [], [], [], []
+        for r in range(ne):
+            parts = lines[i + r].split()
+            etype = int(parts[1])
+            ntags = int(parts[2])
+            tag = int(parts[3]) if ntags > 0 else 0
+            nodes = [idmap[int(p)] for p in parts[3 + ntags:]]
+            if etype == 2:
+                tris.append(nodes); tritags.append(tag)
+            elif etype == 4:
+                tets.append(nodes); tettags.append(tag)
+            elif etype == 1:
+                lines2.append(nodes); linetags.append(tag)
+        if tets:
+            dim, cells, ctags = 3, np.asarray(tets), np.asarray(tettags)
+            facets, ftags = tris, tritags
+        elif tris:
+            dim, cells, ctags = 2, np.asarray(tris), np.asarray(tritags)
+            facets, ftags = lines2, linetags
+        else:
+            raise ValueError(f"no triangles or tetrahedra in {path}")
+        verts = coords[:, :dim]
+        m = cls(verts, cells)
+        m._positively_oriented()
+        uniq_f, _, counts = m.faces()
+        vb = np.zeros(m.nvertices, dtype=bool)
+        vb[uniq_f[counts == 1].ravel()] = True
+        m._boundary_vertices = vb
+        m.cell_tags = ctags
+        m.facet_tags = {tuple(sorted(fv)): t
+                        for fv, t in zip(facets, ftags)}
+        return m
+
+    @classmethod
     def from_structured(cls, smesh):
         """Triangulate a structured quad (2D) or hex (3D) mesh."""
         verts = smesh.vertex_coords()
