@@ -1,1 +1,2 @@
 from dune_pdelab_tpu.io.vtk import VTKWriter, VTKSequenceWriter
+from dune_pdelab_tpu.io.dgf import read_dgf
