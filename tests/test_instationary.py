@@ -146,3 +146,60 @@ def test_explicit_rejects_implicit_scheme():
     V, p, go0, go1 = _heat_setup(n=4)
     with pytest.raises(ValueError):
         ExplicitOneStepMethod(implicit_euler(), go0, go1)
+
+
+@pytest.mark.fast
+def test_onestep_time_dependent_dirichlet():
+    """BC-reinterpolating OneStepMethod variant (reference:
+    implicitonestep.hh:291): time-dependent Dirichlet data is
+    re-interpolated each stage. Manufactured u = e^{-t}(1 + x): harmonic in
+    space, so f = du/dt = -u; the boundary values decay in time."""
+    from dune_pdelab_tpu import (
+        StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+    )
+    from dune_pdelab_tpu.instationary import OneStepMethod, crank_nicolson
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+    )
+    from dune_pdelab_tpu.ops.l2 import L2
+    from dune_pdelab_tpu.solvers import SEQ_CG_Jacobi
+    from dune_pdelab_tpu.space.functions import l2_difference
+
+    class P(ConvectionDiffusionProblem):
+        time = 0.0
+
+        def f(self, x):
+            return -jnp.exp(-self.time) * (1.0 + x[..., 0])
+
+        def with_time(self, t):
+            import copy
+            p = copy.copy(self)
+            p.time = t
+            return p
+
+    mesh = StructuredMesh([0, 0], [1, 1], (12, 12))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cgm = constraints(True, V)
+    go_s = GridOperator(V, ConvectionDiffusionFEM(P()), constraints=cgm)
+    go_t = GridOperator(V, L2(), constraints=cgm)
+
+    def bvals(t):
+        return V.interpolate(
+            lambda p: np.exp(-t) * (1.0 + np.atleast_2d(p)[:, 0]))
+
+    def run(boundary_values):
+        osm = OneStepMethod(crank_nicolson(), go_s, go_t, SEQ_CG_Jacobi(),
+                            pdesolver="linear", reduction=1e-12,
+                            boundary_values=boundary_values)
+        x = bvals(0.0)
+        t, dt, T = 0.0, 0.025, 0.5
+        while t < T - 1e-12:
+            x = osm.apply(t, dt, x)
+            t += dt
+        return float(l2_difference(
+            V, x, lambda p: np.exp(-t) * (1.0 + p[:, 0])))
+
+    err_moving = run(bvals)
+    err_frozen = run(None)        # BC stuck at t=0 values
+    assert err_moving < 1e-4, err_moving
+    assert err_frozen > 20 * err_moving, (err_frozen, err_moving)
