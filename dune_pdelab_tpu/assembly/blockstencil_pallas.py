@@ -1,21 +1,22 @@
-"""Pallas lowering of the DG block stencil (2D): one HBM pass, all block
-taps as lane-rolls with periodic per-lane weights.
+"""Pallas lowering of the DG block stencil (2D/3D): one HBM pass, all
+block taps as lane-rolls with periodic per-lane weights.
 
 The XLA conv lowering of `BlockStencilOperator` moves the grid several
 times (layout transposes + conv + slab corrections). This kernel views the
-DG DOF array as (rows = ny, lanes = nx*nb) and applies every block tap
-on-chip in a single streamed pass:
+DG DOF array as (rows, lanes = nx*nb) — rows = y (2D) or z*ny + y (3D) —
+and applies every block tap on-chip in a single streamed pass:
 
-  * y offsets -> row offsets (sublane-direction slices, 1-row halo),
+  * y/z offsets -> row offsets (sublane-direction slices, 1-row halo),
   * an (dx, d = b - a) pair -> ONE lane roll by dx*nb + d, multiplied by a
     lane-periodic weight vector w[p] = W_t[p % nb, p % nb + d] — so the
-    5 * (2 nb - 1) rolls replace the 5 nb^2 masked shift-MACs a naive
-    lowering would need.
+    (2*dim+1) * (2 nb - 1) rolls replace the (2*dim+1) * nb^2 masked
+    shift-MACs a naive lowering would need.
 
-The lane wrap of a roll only pollutes the first/last ELEMENT column; the
-wrapper subtracts the wrapped contribution explicitly (DG has no Dirichlet
-rows to hide behind), then adds the per-side boundary-correction blocks.
-2D only; 3D stays on the XLA conv path.
+Wrap-around pollution is subtracted explicitly outside the kernel (DG has
+no Dirichlet rows to hide behind): lane wraps pollute the first/last
+ELEMENT column (x edges), and in 3D the dy = +-1 row offsets cross z-slab
+boundaries and pollute the y-edge planes. Both corrections are O(surface)
+slab updates, as are the per-side boundary-correction blocks.
 """
 from __future__ import annotations
 
@@ -27,26 +28,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def build_block_stencil_apply_2d(cells, nb, W_taps, offsets, dD_sides,
-                                 row_block=256, interpret=False):
-    """cells = (nx, ny) element lattice (dim0 fastest); returns z -> A z."""
-    nx, ny = int(cells[0]), int(cells[1])
+def build_block_stencil_apply(cells, nb, W_taps, offsets, dD_sides,
+                              row_block=256, interpret=False):
+    """cells: element lattice (dim0 fastest), len 2 or 3; returns z -> A z."""
+    dim = len(cells)
+    nx = int(cells[0])
+    ny = int(cells[1])
+    nz = int(cells[2]) if dim == 3 else 1
+    R = ny * nz
     L = nx * nb
-    H = 8                                   # 1-row halo, sublane-tile padded
-    # keep the row block small enough that the ~n_terms live (RB, L) roll
-    # intermediates fit VMEM (observed: register spills ~ 16 * RB * L * 4 B)
+    # row halo must cover the largest row offset (dz = +-1 -> +-ny in 3D,
+    # dy = +-1 -> +-1 in 2D), rounded up to the (8, 128) sublane tiling
+    max_ro = ny + 1 if dim == 3 else 1
+    H = ((max_ro + 7) // 8) * 8
+    # keep the row block small enough that the live (RB, L) roll
+    # intermediates fit VMEM
     row_block = min(row_block, max(8, (2 * 1024 * 1024) // (L * 4)))
-    RB = min(row_block, ny)
-    nblocks = -(-ny // RB)
+    RB = min(row_block, R)
+    nblocks = -(-R // RB)
     R_pad = nblocks * RB
     total_rows = R_pad + 2 * H
 
     # (row_offset, lane_shift, lane-weight vector) terms
     terms = []
     lanes_mod = np.arange(L) % nb           # local mode index per lane
+    W_by_tap = {}
     for t, off in enumerate(np.asarray(offsets)):
-        dx, dy = int(off[0]), int(off[1])
+        dx = int(off[0])
+        dy = int(off[1])
+        dz = int(off[2]) if dim == 3 else 0
         W = np.asarray(W_taps[t])
+        W_by_tap[(dx, dy, dz)] = W.astype(np.float32)
+        ro = dz * ny + dy
         for d in range(-(nb - 1), nb):
             a = lanes_mod
             b = a + d
@@ -54,7 +67,7 @@ def build_block_stencil_apply_2d(cells, nb, W_taps, offsets, dD_sides,
             w = np.where(valid, W[a, np.clip(b, 0, nb - 1)], 0.0)
             if not np.any(w):
                 continue
-            terms.append((dy, dx * nb + d, w.astype(np.float32)))
+            terms.append((ro, dx * nb + d, w.astype(np.float32)))
     wvecs = np.stack([w for (_, _, w) in terms])         # (nterms, L)
     meta = [(ro, s) for (ro, s, _) in terms]
 
@@ -92,55 +105,67 @@ def build_block_stencil_apply_2d(cells, nb, W_taps, offsets, dD_sides,
     )
 
     wv = jnp.asarray(wvecs)
-    # x-edge un-wrap blocks: tap dx = -1 wraps the rightmost element into
-    # column 0 and dx = +1 wraps the leftmost into column nx-1
-    W_xm = W_xp = None
-    for t, off in enumerate(np.asarray(offsets)):
-        if int(off[1]) == 0 and int(off[0]) == -1:
-            W_xm = np.asarray(W_taps[t], np.float32)
-        if int(off[1]) == 0 and int(off[0]) == 1:
-            W_xp = np.asarray(W_taps[t], np.float32)
-    dD = np.asarray(dD_sides, np.float32)    # (2, 2, nb, nb)
+    W_xm = W_by_tap.get((-1, 0, 0))         # wraps rightmost el into x=0
+    W_xp = W_by_tap.get((1, 0, 0))          # wraps leftmost el into x=nx-1
+    W_ym = W_by_tap.get((0, -1, 0))         # 3D: crosses into z-1 slab
+    W_yp = W_by_tap.get((0, 1, 0))
+    dD = np.asarray(dD_sides, np.float32)    # (dim, 2, nb, nb)
+    el_shape = ((nz, ny, nx, nb) if dim == 3 else (ny, nx, nb))
 
     @jax.jit
     def apply(z):
         dt = z.dtype
-        zb = z.astype(jnp.float32).reshape(ny, L)
+        zf = z.astype(jnp.float32)
         zp = jnp.zeros((total_rows, L), jnp.float32)
-        zp = jax.lax.dynamic_update_slice(zp, zb, (H, 0))
-        out = call(zp, wv)[:ny]
-        zel = zb.reshape(ny, nx, nb)
-        out = out.reshape(ny, nx, nb)
-        # subtract wrapped-lane pollution on the x edges
+        zp = jax.lax.dynamic_update_slice(zp, zf.reshape(R, L), (H, 0))
+        out = call(zp, wv)[:R].reshape(el_shape)
+        zel = zf.reshape(el_shape)
+        # subtract lane-wrap pollution on the x edges
         if W_xm is not None:
-            out = out.at[:, 0, :].add(
-                -jnp.einsum("yb,ab->ya", zel[:, -1, :], jnp.asarray(W_xm)))
+            out = out.at[..., 0, :].add(
+                -jnp.einsum("...b,ab->...a", zel[..., -1, :],
+                            jnp.asarray(W_xm)))
         if W_xp is not None:
-            out = out.at[:, -1, :].add(
-                -jnp.einsum("yb,ab->ya", zel[:, 0, :], jnp.asarray(W_xp)))
-        # per-side boundary corrections (additive, corners get both)
-        out = out.at[:, 0, :].add(
-            jnp.einsum("yb,ab->ya", zel[:, 0, :], jnp.asarray(dD[0, 0])))
-        out = out.at[:, -1, :].add(
-            jnp.einsum("yb,ab->ya", zel[:, -1, :], jnp.asarray(dD[0, 1])))
-        out = out.at[0, :, :].add(
-            jnp.einsum("xb,ab->xa", zel[0], jnp.asarray(dD[1, 0])))
-        out = out.at[-1, :, :].add(
-            jnp.einsum("xb,ab->xa", zel[-1], jnp.asarray(dD[1, 1])))
+            out = out.at[..., -1, :].add(
+                -jnp.einsum("...b,ab->...a", zel[..., 0, :],
+                            jnp.asarray(W_xp)))
+        if dim == 3:
+            # subtract z-slab-crossing pollution on the y-edge planes
+            if W_ym is not None:
+                out = out.at[1:, 0].add(
+                    -jnp.einsum("...b,ab->...a", zel[:-1, -1],
+                                jnp.asarray(W_ym)))
+            if W_yp is not None:
+                out = out.at[:-1, -1].add(
+                    -jnp.einsum("...b,ab->...a", zel[1:, 0],
+                                jnp.asarray(W_yp)))
+        # per-side boundary corrections (additive, corners sum)
+        for d in range(dim):
+            ax = dim - 1 - d                # C-order axis of mesh dim d
+            for side in (0, 1):
+                sl = [slice(None)] * (dim + 1)
+                sl[ax] = 0 if side == 0 else -1
+                sl = tuple(sl)
+                out = out.at[sl].add(jnp.einsum(
+                    "...b,ab->...a", zel[sl], jnp.asarray(dD[d, side])))
         return out.reshape(-1).astype(dt)
 
     return apply
 
 
 def try_pallas_block_stencil(block_op, interpret=False, row_block=256):
-    """Lower a 2D BlockStencilOperator to the Pallas kernel; None when it
-    does not qualify (needs nx*nb to be a multiple of 128 for lane tiles)."""
+    """Lower a 2D/3D BlockStencilOperator to the Pallas kernel; None when
+    it does not qualify (nx*nb must be a multiple of 128 for lane tiles)."""
     cells = block_op.cells
-    if len(cells) != 2:
+    if len(cells) not in (2, 3):
         return None
     L = int(cells[0]) * block_op.nb
     if L % 128 != 0 and not interpret:
         return None
-    return build_block_stencil_apply_2d(
+    return build_block_stencil_apply(
         cells, block_op.nb, block_op.W_taps, block_op.offsets,
         block_op.dD_sides, row_block=row_block, interpret=interpret)
+
+
+# backward-compatible alias
+build_block_stencil_apply_2d = build_block_stencil_apply

@@ -127,10 +127,13 @@ def test_pallas_block_stencil_interpret_parity():
         try_pallas_block_stencil,
     )
 
-    for fem, cells in ((QkDGFEM(1, 2), (9, 7)), (QkDGFEM(2, 2), (8, 6))):
-        mesh = StructuredMesh([0, 0], [1, 1], cells)
+    for fem, cells in ((QkDGFEM(1, 2), (9, 7)), (QkDGFEM(2, 2), (8, 6)),
+                       (QkDGFEM(1, 3), (6, 5, 5))):
+        dim = len(cells)
+        mesh = StructuredMesh([0] * dim, [1] * dim, cells)
         V = FunctionSpace(mesh, fem)
-        go = GridOperator(V, ConvectionDiffusionDG(ConvDiff()))
+        prob = ConvDiff() if dim == 2 else Diff()
+        go = GridOperator(V, ConvectionDiffusionDG(prob))
         st = compile_block_stencil(go)
         pk = try_pallas_block_stencil(st, interpret=True)
         assert pk is not None
