@@ -49,7 +49,15 @@ def build_block_stencil_apply(cells, nb, W_taps, offsets, dD_sides,
     R_pad = nblocks * RB
     total_rows = R_pad + 2 * H
 
-    # (row_offset, lane_shift, lane-weight vector) terms
+    # (row_offset, lane_shift, lane-weight vector) terms. Lane weights fold
+    # in the x-direction boundary handling for free:
+    #   * dx = +-1 taps: the roll wraps the opposite edge element into the
+    #     first/last nb lanes — zeroing the weight there removes the
+    #     pollution AND is the correct value (the out-of-domain neighbor
+    #     contributes nothing);
+    #   * dx = 0 taps: the x-side diagonal corrections dD[0, side] live
+    #     only on the first/last nb lanes — added to the periodic weight.
+    dD_np = np.asarray(dD_sides, np.float64)
     terms = []
     lanes_mod = np.arange(L) % nb           # local mode index per lane
     W_by_tap = {}
@@ -65,6 +73,19 @@ def build_block_stencil_apply(cells, nb, W_taps, offsets, dD_sides,
             b = a + d
             valid = (b >= 0) & (b < nb)
             w = np.where(valid, W[a, np.clip(b, 0, nb - 1)], 0.0)
+            if dx == 1:
+                w[L - nb:] = 0.0
+            elif dx == -1:
+                w[:nb] = 0.0
+            elif dy == 0 and dz == 0:       # diagonal tap: x-side dD
+                wd0 = np.where(valid[:nb],
+                               dD_np[0, 0][a[:nb],
+                                           np.clip(b[:nb], 0, nb - 1)], 0.0)
+                wd1 = np.where(valid[-nb:],
+                               dD_np[0, 1][a[-nb:],
+                                           np.clip(b[-nb:], 0, nb - 1)], 0.0)
+                w[:nb] += wd0
+                w[L - nb:] += wd1
             if not np.any(w):
                 continue
             terms.append((ro, dx * nb + d, w.astype(np.float32)))
@@ -120,15 +141,8 @@ def build_block_stencil_apply(cells, nb, W_taps, offsets, dD_sides,
         zp = jax.lax.dynamic_update_slice(zp, zf.reshape(R, L), (H, 0))
         out = call(zp, wv)[:R].reshape(el_shape)
         zel = zf.reshape(el_shape)
-        # subtract lane-wrap pollution on the x edges
-        if W_xm is not None:
-            out = out.at[..., 0, :].add(
-                -jnp.einsum("...b,ab->...a", zel[..., -1, :],
-                            jnp.asarray(W_xm)))
-        if W_xp is not None:
-            out = out.at[..., -1, :].add(
-                -jnp.einsum("...b,ab->...a", zel[..., 0, :],
-                            jnp.asarray(W_xp)))
+        # x-direction handling is folded into the lane weights; only the
+        # row-direction (y/z) corrections remain as slab updates
         if dim == 3:
             # subtract z-slab-crossing pollution on the y-edge planes
             if W_ym is not None:
@@ -139,8 +153,8 @@ def build_block_stencil_apply(cells, nb, W_taps, offsets, dD_sides,
                 out = out.at[:-1, -1].add(
                     -jnp.einsum("...b,ab->...a", zel[1:, 0],
                                 jnp.asarray(W_yp)))
-        # per-side boundary corrections (additive, corners sum)
-        for d in range(dim):
+        # per-side boundary corrections for the row dims (additive)
+        for d in range(1, dim):
             ax = dim - 1 - d                # C-order axis of mesh dim d
             for side in (0, 1):
                 sl = [slice(None)] * (dim + 1)
