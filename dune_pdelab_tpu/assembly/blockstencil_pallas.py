@@ -126,8 +126,6 @@ def build_block_stencil_apply(cells, nb, W_taps, offsets, dD_sides,
     )
 
     wv = jnp.asarray(wvecs)
-    W_xm = W_by_tap.get((-1, 0, 0))         # wraps rightmost el into x=0
-    W_xp = W_by_tap.get((1, 0, 0))          # wraps leftmost el into x=nx-1
     W_ym = W_by_tap.get((0, -1, 0))         # 3D: crosses into z-1 slab
     W_yp = W_by_tap.get((0, 1, 0))
     dD = np.asarray(dD_sides, np.float32)    # (dim, 2, nb, nb)
