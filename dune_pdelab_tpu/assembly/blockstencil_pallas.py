@@ -12,11 +12,11 @@ and applies every block tap on-chip in a single streamed pass:
     (2*dim+1) * (2 nb - 1) rolls replace the (2*dim+1) * nb^2 masked
     shift-MACs a naive lowering would need.
 
-Wrap-around pollution is subtracted explicitly outside the kernel (DG has
-no Dirichlet rows to hide behind): lane wraps pollute the first/last
-ELEMENT column (x edges), and in 3D the dy = +-1 row offsets cross z-slab
-boundaries and pollute the y-edge planes. Both corrections are O(surface)
-slab updates, as are the per-side boundary-correction blocks.
+Boundary handling: the x direction is folded into the static lane weights
+(wrapped lanes zeroed, x-side correction blocks added on the edge-element
+lanes); the row directions keep O(surface) slab updates outside the kernel
+(per-side correction blocks, and in 3D the subtraction of dy = +-1 row
+offsets that cross z-slab boundaries into the y-edge planes).
 """
 from __future__ import annotations
 
