@@ -204,3 +204,27 @@ def test_block_ell_assembled_solve_matches_matrix_free():
             assert type(mat).__name__ == "BlockEllMatrix"
         out[mf] = x
     assert float(jnp.max(jnp.abs(out[True] - out[False]))) < 1e-8
+
+
+def test_mm_block_stencil_interpret_parity():
+    """Mode-major Pallas lowering (interpret mode): fp32 parity with the
+    general apply for 3D Q1 DG, including all face corrections."""
+    from dune_pdelab_tpu.assembly.blockstencil_mm import try_mm_block_stencil
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (6, 5, 5))
+    V = FunctionSpace(mesh, QkDGFEM(1, 3))
+    go = GridOperator(V, ConvectionDiffusionDG(Diff()))
+    st = compile_block_stencil(go)
+    lowered = try_mm_block_stencil(st, interpret=True)
+    assert lowered is not None
+    apply_flat, apply_mm, to_mm, from_mm = lowered
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        z = jnp.asarray(rng.standard_normal(V.ndofs), jnp.float32)
+        y1 = np.asarray(go.jacobian_apply(jnp.zeros(V.ndofs, jnp.float32), z))
+        y2 = np.asarray(apply_flat(z))
+        rel = np.abs(y1 - y2).max() / max(1.0, np.abs(y1).max())
+        assert rel < 1e-5, rel
+    # mm roundtrip is exact
+    z = jnp.asarray(rng.standard_normal(V.ndofs), jnp.float32)
+    assert float(jnp.max(jnp.abs(from_mm(to_mm(z), z.dtype) - z))) == 0.0

@@ -140,6 +140,44 @@ def test_ell_pattern_stats():
     assert st["bytes_per_row"] > 0
 
 
+@pytest.mark.fast
+@pytest.mark.parametrize("cells,k", [((9, 7), 1), ((7, 6, 5), 1),
+                                     ((4, 4, 4), 2)])
+def test_ell_device_assembly_matches_host(cells, k):
+    """Device-resident colored probing == host-side probing, exactly."""
+    from dune_pdelab_tpu.assembly.ell import assemble_ell_device
+
+    V, go = _setup(cells, k)
+    ell_h = assemble_ell(go)
+    ell_d = assemble_ell_device(go)
+    assert ell_d is not None
+    assert np.allclose(np.asarray(ell_h.values), np.asarray(ell_d.values),
+                       atol=1e-12)
+    z = jnp.asarray(np.random.default_rng(3).standard_normal(V.ndofs))
+    assert float(jnp.linalg.norm(ell_h(z) - ell_d(z))) < 1e-10
+
+
+def test_ell_plane_streamed_interpret():
+    """Plane-streamed Pallas ELL SpMV (interpreter mode) == plain apply."""
+    from dune_pdelab_tpu.assembly.ell_pallas import try_plane_ell
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (7, 5, 6))
+    V = FunctionSpace(mesh, QkFEM(1, 3))
+    p = VarCoeff()
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    ell = assemble_ell(go)
+    streamed = try_plane_ell(ell, interpret=True)
+    assert streamed is not None
+    rng = np.random.default_rng(4)
+    for _ in range(2):
+        z = jnp.asarray(rng.standard_normal(V.ndofs))
+        y_ref = np.asarray(ell(z))
+        y_s = np.asarray(streamed(z))
+        assert float(np.linalg.norm(y_ref - y_s)) < 1e-5 * max(
+            1.0, float(np.linalg.norm(y_ref)))
+
+
 def test_ell_pallas_tiled_interpret():
     """Pallas tiled ELL SpMV (interpreter mode) == plain ELL apply."""
     class P(VarCoeff):
