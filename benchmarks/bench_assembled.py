@@ -69,8 +69,7 @@ def main():
 
     # --- general-path residual assembly rate ---
     x0 = jnp.zeros(N, dtype)
-    res = jax.jit(go.residual)
-    t_res, _ = timeit(res, x0, reps=3)
+    t_res, _ = timeit(go.residual, x0, reps=3)
     print(f"[assembled] residual assembly: {t_res*1e3:.2f} ms "
           f"= {E/t_res/1e6:.1f} M elem-residuals/s "
           f"({N/t_res/1e9:.2f} Gdof/s)", file=sys.stderr, flush=True)

@@ -169,6 +169,13 @@ class GridOperator:
             if self.has["alpha_skeleton"]:
                 self._build_skeleton_groups(self._leaf_maps())
 
+        # device-resident cache for large per-entity arrays (quadrature
+        # positions, per-element geometry): without it every trace bakes
+        # multi-100MB numpy constants into the jaxpr, which the XLA
+        # constant-folder then chews on at compile time (minutes at 16M+
+        # elements through the remote relay)
+        self._dev_cache = {}
+
         # persistent jitted entry points (trace once per shape/dtype; the
         # FastDG lesson — gather/trace overhead dominates — applied to jit)
         self._residual_jit = jax.jit(self._residual_with_mask)
@@ -522,6 +529,38 @@ class GridOperator:
     # ------------------------------------------------------------------
     # in-trace context construction
     # ------------------------------------------------------------------
+    def _dev(self, arr, dtype):
+        """Memoized device copy of a (possibly large) numpy array. The
+        jitted entry points close over these as device-resident constants
+        instead of re-staging numpy data every trace. Inside a trace the
+        conversion would produce a tracer — never cache those; the public
+        wrappers call `warm_device_cache` eagerly first."""
+        key = (id(arr), jnp.dtype(dtype).name)
+        v = self._dev_cache.get(key)
+        if v is None:
+            v = jnp.asarray(arr, dtype)
+            if isinstance(v, jax.Array) and not isinstance(
+                    v, jax.core.Tracer):
+                self._dev_cache[key] = v
+        return v
+
+    def warm_device_cache(self, dtype):
+        """Eagerly build all context device arrays OUTSIDE any trace (so
+        in-jit ctx construction only reads the memo)."""
+        key = ("warm", jnp.dtype(dtype).name)
+        if key in self._dev_cache:
+            return
+        self._dev_cache[key] = True
+        self._volume_ctx(0.0, dtype)
+        for g in self.bnd_groups:
+            self._face_ctx(g, 0.0, dtype)
+        for g in self.skel_groups:
+            self._skel_ctx(g, 0.0, dtype)
+
+    def _warm_for(self, x):
+        if not isinstance(x, jax.core.Tracer):
+            self.warm_device_cache(x.dtype)
+
     def _leaf_tabs(self, raw_tabs, dtype):
         out = []
         for t in raw_tabs:
@@ -530,13 +569,13 @@ class GridOperator:
             dv = t[5] if len(t) > 5 else None
             cl = t[6] if len(t) > 6 else None
             out.append(LeafTab(
-                phi=None if v is None else jnp.asarray(v, dtype),
-                grad=None if gphys is None else jnp.asarray(gphys, dtype),
-                ref_grad=None if gref is None else jnp.asarray(gref, dtype),
+                phi=None if v is None else self._dev(v, dtype),
+                grad=None if gphys is None else self._dev(gphys, dtype),
+                ref_grad=None if gref is None else self._dev(gref, dtype),
                 degree=deg,
-                vec_phi=None if vec is None else jnp.asarray(vec, dtype),
-                div=None if dv is None else jnp.asarray(dv, dtype),
-                curl=None if cl is None else jnp.asarray(cl, dtype),
+                vec_phi=None if vec is None else self._dev(vec, dtype),
+                div=None if dv is None else self._dev(dv, dtype),
+                curl=None if cl is None else self._dev(cl, dtype),
             ))
         return tuple(out)
 
@@ -544,42 +583,42 @@ class GridOperator:
         vg = self.vol_geo
         if self.mesh.uniform:
             x = (
-                jnp.asarray(vg.origins, dtype)[:, None, :]
+                self._dev(vg.origins, dtype)[:, None, :]
                 + jnp.asarray(vg.qp_phys_offset, dtype)[None]
             )
         else:
-            x = jnp.asarray(vg.qp_phys, dtype)
+            x = self._dev(vg.qp_phys, dtype)
         return VolumeContext(
             weights=jnp.asarray(vg.weights, dtype),
             x=x,
-            factor=jnp.asarray(vg.factor, dtype),
+            factor=self._dev(vg.factor, dtype),
             tabs=self._leaf_tabs(self._vol_tabs, dtype),
-            jac_inv_T=jnp.asarray(vg.jac_inv_T, dtype),
-            cell_volume=jnp.asarray(vg.cell_volume, dtype),
+            jac_inv_T=self._dev(vg.jac_inv_T, dtype),
+            cell_volume=self._dev(vg.cell_volume, dtype),
             time=time,
         )
 
     def _face_ctx(self, g: _FaceGroupData, time, dtype) -> FaceContext:
         return FaceContext(
             weights=jnp.asarray(g.weights, dtype),
-            x=jnp.asarray(g.x, dtype),
-            factor=jnp.asarray(g.factor, dtype),
-            normal=jnp.asarray(g.normal, dtype),
+            x=self._dev(g.x, dtype),
+            factor=self._dev(g.factor, dtype),
+            normal=self._dev(g.normal, dtype),
             tabs=self._leaf_tabs(g.tabs_in, dtype),
-            h_inside=jnp.asarray(g.h_in, dtype),
+            h_inside=self._dev(g.h_in, dtype),
             time=time,
         )
 
     def _skel_ctx(self, g: _FaceGroupData, time, dtype) -> SkeletonContext:
         return SkeletonContext(
             weights=jnp.asarray(g.weights, dtype),
-            x=jnp.asarray(g.x, dtype),
-            factor=jnp.asarray(g.factor, dtype),
-            normal=jnp.asarray(g.normal, dtype),
+            x=self._dev(g.x, dtype),
+            factor=self._dev(g.factor, dtype),
+            normal=self._dev(g.normal, dtype),
             tabs_in=self._leaf_tabs(g.tabs_in, dtype),
             tabs_out=self._leaf_tabs(g.tabs_out, dtype),
-            h_inside=jnp.asarray(g.h_in, dtype),
-            h_outside=jnp.asarray(g.h_out, dtype),
+            h_inside=self._dev(g.h_in, dtype),
+            h_outside=self._dev(g.h_out, dtype),
             time=time,
         )
 
@@ -659,6 +698,7 @@ class GridOperator:
         """r(x) with constrained rows zeroed (so the correction problem
         J z = r has z = 0 on Dirichlet DOFs; reference convention:
         gridoperator residual + set_trivial_rows). Jitted and cached."""
+        self._warm_for(x)
         return self._residual_jit(x, time)
 
     # ------------------------------------------------------------------
@@ -683,6 +723,7 @@ class GridOperator:
         """y = J(x) z with symmetric constraint handling:
         y = mask*z + P J P z, P = projection onto unconstrained DOFs.
         Jitted and cached; also safe to call inside an outer jit."""
+        self._warm_for(x)
         return self._japply_jit(x, z, time)
 
     def linear_operator(self, time=0.0, dtype=None):
@@ -904,4 +945,5 @@ class GridOperator:
 
     def jacobian_diagonal(self, x, time=0.0):
         """diag(J) including all integration domains; constrained rows -> 1."""
+        self._warm_for(x)
         return self._jdiag_jit(x, time)

@@ -1,0 +1,164 @@
+"""Window-sharded assembly (parallel/windowed.py): the general distributed
+path — composite spaces, simplex and adaptive meshes, 2D device meshes.
+Oracle: sharded residual / jacobian_apply / solves must reproduce the
+sequential GridOperator exactly (the MPI_RANKS 1 2 4 strategy, reference:
+dune/pdelab/test/CMakeLists.txt:46; novlpistlsolverbackend.hh SpMV +
+border add-exchange)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import (
+    StructuredMesh, FunctionSpace, QkFEM, GridOperator, constraints,
+)
+from dune_pdelab_tpu.linalg import cg
+from dune_pdelab_tpu.ops import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+)
+from dune_pdelab_tpu.parallel.windowed import (
+    WindowShardedGridOperator, block_partition,
+)
+
+pytestmark = pytest.mark.fast
+
+
+class Problem(ConvectionDiffusionProblem):
+    def f(self, x):
+        return jnp.sin(3 * x[..., 0]) * x[..., 1] + 1.0
+
+    def j(self, x):
+        return 0.1 * x[..., 0]
+
+
+def _cd_go(n=10, dim=2, k=2):
+    mesh = StructuredMesh([0] * dim, [1] * dim, (n,) * dim)
+    V = FunctionSpace(mesh, QkFEM(k, dim))
+    p = Problem()
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    return V, GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+
+
+def _parity(V, go, wgo, tol=1e-11, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal(V.ndofs))
+    z = jnp.asarray(rng.standard_normal(V.ndofs))
+    r_seq = go.residual(x)
+    r_par = wgo.residual(x)
+    nr = max(1.0, float(jnp.linalg.norm(r_seq)))
+    assert float(jnp.linalg.norm(r_seq - r_par)) < tol * nr
+    j_seq = go.jacobian_apply(x, z)
+    j_par = wgo.jacobian_apply(x, z)
+    nj = max(1.0, float(jnp.linalg.norm(j_seq)))
+    assert float(jnp.linalg.norm(j_seq - j_par)) < tol * nj
+
+
+@pytest.mark.parametrize("ndev", [1, 3, 8])
+def test_windowed_cd_q2_parity(ndev):
+    V, go = _cd_go()
+    wgo = WindowShardedGridOperator(go, devices=jax.devices()[:ndev])
+    _parity(V, go, wgo)
+
+
+def test_windowed_2d_device_mesh_block_partition():
+    """2D device grid (2, 4) with torus-aligned block partition."""
+    V, go = _cd_go(n=12, k=1)
+    owner = block_partition(go.mesh, (2, 4))
+    assert owner.min() == 0 and owner.max() == 7
+    wgo = WindowShardedGridOperator(go, element_owner=owner)
+    _parity(V, go, wgo)
+    # exchange classes exist and are halo-sized, not full-vector
+    assert len(wgo._plan) >= 2
+    assert wgo.Wmax < V.ndofs
+
+
+def test_windowed_cg_iteration_parity():
+    V, go = _cd_go(n=8, k=1)
+    wgo = WindowShardedGridOperator(go)
+    x0 = V.zero()
+    b = go.residual(x0)
+    d = go.jacobian_diagonal(x0)
+    z1, s1 = cg(lambda p: go.jacobian_apply(x0, p), b,
+                M=lambda r: r / d, tol=1e-12)
+    z2, s2 = wgo.solve_cg(x0, b, diag=np.asarray(d), tol=1e-12)
+    assert int(s1.iterations) == int(s2.iterations)
+    assert float(jnp.linalg.norm(z1 - jnp.asarray(z2))) < 1e-10
+
+
+def test_windowed_taylor_hood_stokes():
+    """Composite (Taylor-Hood) space under the window sharding — the
+    reference runs Stokes on MPI ranks (ovlpistlsolverbackend.hh); round 2
+    could not shard composite spaces at all."""
+    from dune_pdelab_tpu.solvers.stokes import (
+        taylor_hood_space, stokes_constraints,
+    )
+    from dune_pdelab_tpu.ops import TaylorHoodNavierStokes
+    from dune_pdelab_tpu.ops.stokes import NavierStokesParameters
+
+    mesh = StructuredMesh([0, 0], [1, 1], (8, 8))
+    W = taylor_hood_space(mesh, degree=2)
+    cg_ = stokes_constraints(W, bctype=True, pin_pressure=True)
+    go = GridOperator(W, TaylorHoodNavierStokes(
+        NavierStokesParameters(mu=1.0, rho=0.0)), constraints=cg_)
+    wgo = WindowShardedGridOperator(go)
+    _parity(W, go, wgo)
+
+
+def test_windowed_simplex_sipg():
+    """Simplex mesh + DG skeleton terms (per-face geometry/tabs sharded)."""
+    from dune_pdelab_tpu.mesh import SimplexMesh
+    from dune_pdelab_tpu.fe import PkDGFEM
+    from dune_pdelab_tpu.ops.convectiondiffusiondg import ConvectionDiffusionDG
+
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0], [1, 1], (5, 5)))
+    V = FunctionSpace(sm, PkDGFEM(1, 2))
+    go = GridOperator(V, ConvectionDiffusionDG(Problem()))
+    wgo = WindowShardedGridOperator(go)
+    _parity(V, go, wgo, tol=1e-10)
+
+
+def test_windowed_adaptive_hanging_nodes():
+    """Adaptive mesh with hanging-node (affine) constraints: window-local
+    prolong / restrict-transpose must reproduce the sequential P/P^T
+    application exactly."""
+    from dune_pdelab_tpu.mesh.adaptive import AdaptiveMesh
+
+    m = AdaptiveMesh([0, 0], [1, 1], (4, 4))
+    marks = np.zeros(m.nelements, bool)
+    marks[[0, 5, 6]] = True
+    m = m.refine(marks)
+    marks = np.zeros(m.nelements, bool)
+    marks[[0, 1]] = True
+    m = m.refine(marks)
+    V = FunctionSpace(m, QkFEM(1, 2))
+    p = Problem()
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    assert cg_.has_affine     # the fixture must actually have hanging nodes
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_,
+                      skip_boundary=True)
+    wgo = WindowShardedGridOperator(go)
+    _parity(V, go, wgo)
+
+
+def test_windowed_adaptive_solve_parity():
+    """End-to-end CG on a locally refined mesh: sharded == sequential."""
+    from dune_pdelab_tpu.mesh.adaptive import AdaptiveMesh
+
+    m = AdaptiveMesh([0, 0], [1, 1], (4, 4))
+    marks = np.zeros(m.nelements, bool)
+    marks[[5, 10]] = True
+    m = m.refine(marks)
+    V = FunctionSpace(m, QkFEM(1, 2))
+    p = Problem()
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_,
+                      skip_boundary=True)
+    wgo = WindowShardedGridOperator(go)
+    x0 = V.zero()
+    b = go.residual(x0)
+    d = go.jacobian_diagonal(x0)
+    z1, s1 = cg(lambda q: go.jacobian_apply(x0, q), b,
+                M=lambda r: r / d, tol=1e-12)
+    z2, s2 = wgo.solve_cg(x0, b, diag=np.asarray(d), tol=1e-12)
+    assert int(s1.iterations) == int(s2.iterations)
+    assert float(jnp.linalg.norm(z1 - jnp.asarray(z2))) < 1e-9
