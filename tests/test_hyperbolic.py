@@ -93,3 +93,91 @@ def test_maxwell_cavity_mode():
         * np.sin(w * t)))
     assert ez < 0.05, ez
     assert hx < 0.05, hx
+
+
+def test_maxwell_heterogeneous_transmission():
+    """Plane pulse normally incident on an eps-jump interface: reflected /
+    transmitted E amplitudes match the analytic Fresnel coefficients
+    R = (Z2 - Z1)/(Z2 + Z1), T = 2 Z2/(Z1 + Z2) (the reference's
+    heterogeneous eigendecomposed flux, maxwelldg.hh:316 with per-cell
+    eps/mu)."""
+    eps2 = 4.0
+    Z1, Z2 = 1.0, 1.0 / np.sqrt(eps2)
+    R = (Z2 - Z1) / (Z2 + Z1)            # -1/3
+    T = 2 * Z2 / (Z1 + Z2)               # 2/3
+    nx, k = 96, 1
+    mesh = StructuredMesh([0, 0, 0], [2, 1, 1], (nx, 2, 2),
+                          periodic=(False, True, True))
+    leaf = FunctionSpace(mesh, QkDGFEM(k, 3))
+    Q = PowerSpace(leaf, 6)
+
+    def eps(x):
+        return jnp.where(x[..., 0] < 1.0, 1.0, eps2)
+
+    lop = MaxwellDG(bc="absorb", eps=eps, mu=1.0, cmax=1.0)
+    go0 = GridOperator(Q, lop)
+    go1 = GridOperator(Q, L2())
+    osm = ExplicitOneStepMethod(shu3(), go0, go1)
+
+    def g(x):
+        return np.exp(-((x - 0.45) / 0.08) ** 2)
+
+    zero = lambda p: np.zeros(len(p))
+    # +x-moving pulse in material 1 (Z1 = 1): E_y = g, H_z = g
+    x = Q.interpolate((zero, lambda p: g(p[:, 0]), zero,
+                       zero, zero, lambda p: g(p[:, 0])))
+    dt = 0.25 / (nx / 2 * (2 * k + 1))
+    t, x = osm.solve(0.0, dt, 1.0, x)
+    coords = np.asarray(leaf.dof_coords())
+    ey = np.abs(np.asarray(Q.restrict(x, 1)))
+    refl = float(ey[coords[:, 0] < 0.85].max())
+    trans = float(ey[coords[:, 0] > 1.1].max())
+    assert abs(refl - abs(R)) < 0.08, (refl, R)
+    assert abs(trans - T) < 0.08, (trans, T)
+    # transmitted pulse travels at c2 = 1/2: after crossing at t=0.55 its
+    # center sits near x = 1 + 0.45/2
+    xpk = float(coords[coords[:, 0] > 1.1][np.argmax(
+        ey[coords[:, 0] > 1.1]), 0])
+    assert abs(xpk - (1.0 + 0.45 / 2)) < 0.12, xpk
+
+
+def test_acoustics_heterogeneous_speed():
+    """Pulse crossing a sound-speed jump (c: 1 -> 2): in the reference's
+    symmetrized variables the interface impedance is 1 on both sides, so
+    the pulse transmits without spurious reflection and travels at the
+    local speed (linearacousticsdg.hh per-cell speed oracle)."""
+    nx, k = 96, 1
+    mesh = StructuredMesh([0, 0], [2, 1], (nx, 2),
+                          periodic=(False, True))
+    leaf = FunctionSpace(mesh, QkDGFEM(k, 2))
+    Q = PowerSpace(leaf, 3)
+
+    def c(x):
+        return jnp.where(x[..., 0] < 1.0, 1.0, 2.0)
+
+    lop = LinearAcousticsDG(c=c, bc="absorb", cmax=2.0)
+    go0 = GridOperator(Q, lop)
+    go1 = GridOperator(Q, L2())
+    osm = ExplicitOneStepMethod(shu3(), go0, go1)
+
+    def g(x):
+        return np.exp(-((x - 0.5) / 0.08) ** 2)
+
+    # +x-moving pulse: p = g, u1 = g (unit impedance in these variables)
+    x = Q.interpolate((lambda p: g(p[:, 0]), lambda p: g(p[:, 0]),
+                       lambda p: np.zeros(len(p))))
+    dt = 0.2 / (nx / 2 * (2 * k + 1) * 2.0)
+    t, x = osm.solve(0.0, dt, 0.8, x)
+    coords = np.asarray(leaf.dof_coords())
+    pv = np.abs(np.asarray(Q.restrict(x, 0)))
+    # no spurious reflection
+    refl = float(pv[coords[:, 0] < 0.85].max())
+    assert refl < 0.06, refl
+    # transmitted peak at x ~= 1 + (0.8 - 0.5) * 2 = 1.6. Amplitude:
+    # interface flux continuity c1 * a = c2 * tau gives tau = c1/c2 = 1/2
+    # (the conservative DG flux on the non-conservative symmetrized
+    # system; verified against the time-stepped profile)
+    sel = coords[:, 0] > 1.1
+    xpk = float(coords[sel][np.argmax(pv[sel]), 0])
+    assert abs(xpk - 1.6) < 0.12, xpk
+    assert abs(pv[sel].max() - 0.5) < 0.05, pv[sel].max()
