@@ -3,5 +3,7 @@ from dune_pdelab_tpu.linalg.krylov import (
 )
 from dune_pdelab_tpu.linalg import preconditioners
 from dune_pdelab_tpu.linalg.multigrid import GeometricMultigrid, build_prolongation
-from dune_pdelab_tpu.linalg.geneo import GenEOPreconditioner, geneo_preconditioner_for
+from dune_pdelab_tpu.linalg.geneo import (
+    GenEOPreconditioner, GenEOLatticePreconditioner, geneo_preconditioner_for,
+)
 from dune_pdelab_tpu.linalg.dgmultigrid import DGTwoLevel
