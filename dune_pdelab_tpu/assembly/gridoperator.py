@@ -301,9 +301,10 @@ class GridOperator:
 
     def _simplex_covariant(self, lf, pts_ref, elements=None):
         """Per-element covariant Piola tabulation on affine simplices
-        (H(curl)): vec (E, nqp, nb, d) = sign * J^{-T} v_ref, 2D curl
-        (E, nqp, nb) = sign * curl_ref / det J. Signs are the global edge
-        directions (space/space.py _build_hcurl_map_simplex)."""
+        (H(curl)): vec (E, nqp, nb, d) = sign * J^{-T} v_ref; curl is
+        sign * curl_ref / det J (2D scalar) or sign * J curl_ref / det J
+        (3D vector). Signs are the global edge directions
+        (space/space.py _build_hcurl_map_simplex)."""
         fem = lf.fem
         cc = self.mesh.element_corner_coords()
         if elements is not None:
@@ -317,10 +318,15 @@ class GridOperator:
         if elements is not None:
             signs = signs[elements]
         v_ref = fem.tabulate_vector(pts_ref)              # (q, nb, d)
-        c_ref = fem.tabulate_curl(pts_ref)                # (q, nb) in 2D
+        c_ref = fem.tabulate_curl(pts_ref)                # (q, nb)[, 3]
         vec = (np.einsum("eij,qbj->eqbi", invT, v_ref)
                * signs[:, None, :, None])
-        curl = c_ref[None] / detJ[:, None, None] * signs[:, None, :]
+        if c_ref.ndim == 2:                               # 2D scalar curl
+            curl = c_ref[None] / detJ[:, None, None] * signs[:, None, :]
+        else:                                             # 3D vector curl
+            curl = (np.einsum("eij,qbj->eqbi", J, c_ref)
+                    / detJ[:, None, None, None]
+                    * signs[:, None, :, None])
         return vec, curl
 
     def _tab_at(self, pts_ref, geo: FaceGeometry):

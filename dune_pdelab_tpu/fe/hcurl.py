@@ -97,17 +97,21 @@ class N0Cube:
         return f"N0Cube(dim={self.dim}, nbasis={self.nbasis}, Hcurl)"
 
 
-class N0Simplex2D:
+class N0Simplex:
     """Lowest-order Nedelec (Whitney) edge element on the reference
-    triangle (reference: dune/pdelab/finiteelementmap/edges0.5fem.hh — the
-    simplex EdgeS0.5 member).
+    triangle/tetrahedron (reference: dune/pdelab/finiteelementmap/
+    edges0.5fem.hh — EdgeS0.5 on simplices, 2D AND 3D).
 
-    Reference triangle = P1 geometry convention v0=(0,0), v1=(0,1),
-    v2=(1,0); barycentrics lambda = [1-x-y, y, x]. Edges ordered by local
-    vertex pairs (0,1),(0,2),(1,2) — matching SimplexMesh.edges(). Basis
-    w_(a,b) = lambda_a grad(lambda_b) - lambda_b grad(lambda_a) with unit
-    tangential circulation along a->b; global edge direction (ascending
-    global vertex id) is a per-element diagonal sign from the space layer.
+    P1 geometry convention (fe/basis.py PkFEM(1, dim).nodes): vertex 0 at
+    the origin, vertex j (j >= 1) the unit vector along axis dim - j, so
+    barycentrics are lambda_0 = 1 - sum(x), lambda_j = x[dim - j]. Edges
+    ordered by local vertex pairs (a, b), a < b, lexicographic — matching
+    SimplexMesh.edges(). Basis w_(a,b) = lambda_a grad(lambda_b) -
+    lambda_b grad(lambda_a) with unit tangential circulation along a->b;
+    the global edge direction (ascending global vertex id) is a
+    per-element diagonal sign from the space layer
+    (space/space.py _build_hcurl_map_simplex). curl w_(a,b) =
+    2 grad(lambda_a) x grad(lambda_b), constant per element.
     """
 
     geometry = "simplex"
@@ -115,24 +119,30 @@ class N0Simplex2D:
     nodes = None
     degree = 1
 
-    _pairs = ((0, 1), (0, 2), (1, 2))
-    _grads = np.array([[-1.0, -1.0], [0.0, 1.0], [1.0, 0.0]])
-
     def __init__(self, dim: int = 2):
-        if dim != 2:
-            raise NotImplementedError("N0Simplex: 2D only")
-        self.dim = 2
-        self.nbasis = 3
+        if dim not in (2, 3):
+            raise NotImplementedError("N0Simplex: dim 2 or 3")
+        self.dim = dim
+        self._pairs = tuple((a, b) for a in range(dim + 1)
+                            for b in range(a + 1, dim + 1))
+        self.nbasis = len(self._pairs)              # 3 (2D) / 6 (3D)
+        g = np.zeros((dim + 1, dim))
+        g[0] = -1.0
+        for j in range(1, dim + 1):
+            g[j, dim - j] = 1.0
+        self._grads = g                             # (nverts, dim)
 
-    @staticmethod
-    def _lams(points):
-        x, y = points[:, 0], points[:, 1]
-        return np.stack([1.0 - x - y, y, x], axis=1)       # (npts, 3)
+    def _lams(self, points):
+        lam = np.empty((len(points), self.dim + 1))
+        lam[:, 0] = 1.0 - points.sum(axis=1)
+        for j in range(1, self.dim + 1):
+            lam[:, j] = points[:, self.dim - j]
+        return lam                                  # (npts, nverts)
 
     def tabulate_vector(self, points):
         points = np.atleast_2d(points)
         lam = self._lams(points)
-        v = np.zeros((len(points), 3, 2))
+        v = np.zeros((len(points), self.nbasis, self.dim))
         for l, (a, b) in enumerate(self._pairs):
             v[:, l, :] = (lam[:, a:a + 1] * self._grads[b][None]
                           - lam[:, b:b + 1] * self._grads[a][None])
@@ -140,8 +150,20 @@ class N0Simplex2D:
 
     def tabulate_curl(self, points):
         points = np.atleast_2d(points)
-        c = np.zeros((len(points), 3))
+        if self.dim == 2:
+            c = np.zeros((len(points), self.nbasis))
+            for l, (a, b) in enumerate(self._pairs):
+                ga, gb = self._grads[a], self._grads[b]
+                c[:, l] = 2.0 * (ga[0] * gb[1] - ga[1] * gb[0])
+            return c
+        c = np.zeros((len(points), self.nbasis, 3))
         for l, (a, b) in enumerate(self._pairs):
-            ga, gb = self._grads[a], self._grads[b]
-            c[:, l] = 2.0 * (ga[0] * gb[1] - ga[1] * gb[0])
+            c[:, l, :] = 2.0 * np.cross(self._grads[a], self._grads[b])
         return c
+
+    def __repr__(self):
+        return f"N0Simplex(dim={self.dim}, nbasis={self.nbasis}, Hcurl)"
+
+
+# backwards-compatible name (2D-only era)
+N0Simplex2D = N0Simplex

@@ -488,6 +488,117 @@ def RT2Cube2D():
     return RTkCube2D(2)
 
 
+class RTkCube3D(VectorFiniteElement):
+    """Raviart-Thomas order k on the reference hexahedron (reference:
+    dune/pdelab/finiteelementmap/rt0cube3dfem.hh, raviartthomasfem.hh —
+    the RT1Cube3D specialization is the reference's highest 3D cube order).
+
+    Space Q_{k+1,k,k} x Q_{k,k+1,k} x Q_{k,k,k+1} (3(k+2)(k+1)^2 dofs):
+    per face (k+1)^2 moments of the normal component against tensor shifted
+    Legendre P_m(2t1-1) P_n(2t2-1) over the two tangential axes t1 < t2
+    (moment index m*(k+1)+n — shared-face dofs agree between structured
+    neighbors), plus 3k(k+1)^2 interior moments of v_a against
+    Q_{..,k-1 along a,..}. Local ordering: faces (axis, side, moment), then
+    interior (component, lexicographic exponents) — matching the space
+    layer's face-lattice numbering (space/space.py _build_hdiv_map)."""
+
+    def __init__(self, k: int = 1, dim: int = 3):
+        if dim != 3:
+            raise NotImplementedError("RTkCube3D: 3D only")
+        if k < 1:
+            raise ValueError("use RT0Cube for the lowest order")
+        self.dim = 3
+        self.k = k
+        self.degree = k + 1
+        self.ndofs_per_face = (k + 1) ** 2
+        self.ndofs_interior = 3 * k * (k + 1) ** 2
+        self.nbasis = 3 * (k + 2) * (k + 1) ** 2
+        # monomial basis: component a with exponent <= k+1 along a, <= k else
+        self._funcs = []
+        for a in range(3):
+            rng = [range(k + 2) if d == a else range(k + 1) for d in range(3)]
+            for i in rng[0]:
+                for j in rng[1]:
+                    for l in rng[2]:
+                        self._funcs.append((a, i, j, l))
+        self._C = np.linalg.inv(self._dof_matrix())
+
+    def _eval_raw(self, points):
+        x = [points[:, d] for d in range(3)]
+        n = len(points)
+        nb = self.nbasis
+        vals = np.zeros((n, nb, 3))
+        divs = np.zeros((n, nb))
+        for jf, (a, i, j, l) in enumerate(self._funcs):
+            e = (i, j, l)
+            mono = x[0] ** i * x[1] ** j * x[2] ** l
+            vals[:, jf, a] = mono
+            if e[a]:
+                dm = e[a] * x[a] ** (e[a] - 1)
+                for d in range(3):
+                    if d != a:
+                        dm = dm * x[d] ** e[d]
+                divs[:, jf] = dm
+        return vals, divs
+
+    def _dof_matrix(self):
+        from dune_pdelab_tpu.fe.quadrature import gauss_legendre
+        k = self.k
+        xq, wq = gauss_legendre(k + 3)
+        nq = len(xq)
+        nb = self.nbasis
+        M = np.zeros((nb, nb))
+        row = 0
+        X1, X2 = np.meshgrid(xq, xq, indexing="ij")
+        Wf = np.outer(wq, wq).ravel()
+        for a in range(3):
+            t1, t2 = [d for d in range(3) if d != a]
+            for s in (0, 1):
+                pts = np.zeros((nq * nq, 3))
+                pts[:, a] = float(s)
+                pts[:, t1] = X1.ravel()
+                pts[:, t2] = X2.ravel()
+                raw, _ = self._eval_raw(pts)
+                vn = raw[:, :, a]
+                for m in range(k + 1):
+                    pm = _shifted_legendre(m, pts[:, t1])
+                    for nmo in range(k + 1):
+                        pn = _shifted_legendre(nmo, pts[:, t2])
+                        M[row] = (Wf * pm * pn) @ vn
+                        row += 1
+        # interior: tensor GL grid
+        XX, YY, ZZ = np.meshgrid(xq, xq, xq, indexing="ij")
+        W = np.einsum("i,j,l->ijl", wq, wq, wq).ravel()
+        pts = np.stack([XX.ravel(), YY.ravel(), ZZ.ravel()], axis=1)
+        raw, _ = self._eval_raw(pts)
+        for a in range(3):
+            rng = [range(k) if d == a else range(k + 1) for d in range(3)]
+            for i in rng[0]:
+                for j in rng[1]:
+                    for l in rng[2]:
+                        w = (W * pts[:, 0] ** i * pts[:, 1] ** j
+                             * pts[:, 2] ** l)
+                        M[row] = w @ raw[:, :, a]
+                        row += 1
+        assert row == nb
+        return M
+
+    def tabulate_vector(self, points):
+        points = np.atleast_2d(points)
+        raw, _ = self._eval_raw(points)
+        return np.einsum("pjd,jb->pbd", raw, self._C)
+
+    def tabulate_div(self, points):
+        points = np.atleast_2d(points)
+        _, divs = self._eval_raw(points)
+        return divs @ self._C
+
+
+def RT1Cube3D():
+    """RT1 on the hexahedron (raviartthomasfem.hh RT1Cube3D analog)."""
+    return RTkCube3D(1)
+
+
 class RT1Simplex2D(VectorFiniteElement):
     """Raviart-Thomas order 1 on the reference triangle (reference:
     dune/pdelab/finiteelementmap/rt1simplex2dfem.hh).

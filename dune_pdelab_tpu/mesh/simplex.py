@@ -146,6 +146,20 @@ class SimplexMesh:
     def element_corner_coords(self) -> np.ndarray:
         return self.vertices[self.cells]
 
+    def element_vertex_indices(self) -> np.ndarray:
+        """(E, dim+1) corner vertex ids (structured-mesh interface name)."""
+        return self.cells
+
+    def vertex_coords(self) -> np.ndarray:
+        """(nvertices, dim) coordinates (structured-mesh interface name)."""
+        return self.vertices
+
+    def corner_offsets(self) -> np.ndarray:
+        """Reference-simplex corner coordinates in local vertex order (the
+        P1 geometry convention: v0 at origin, v_j = e_{dim-j})."""
+        from dune_pdelab_tpu.fe.basis import PkFEM
+        return PkFEM(1, self.dim).nodes
+
     def element_centers(self) -> np.ndarray:
         return self.element_corner_coords().mean(axis=1)
 
@@ -233,15 +247,25 @@ class SimplexMesh:
         return vb
 
     def boundary_edge_mask(self) -> np.ndarray:
-        """Edges lying in a bounding-box boundary plane (box domains)."""
+        """Edges on the topological domain boundary: sub-edges of faces with
+        a single adjacent cell (correct for any domain shape, incl.
+        submesh-cut L-shapes)."""
         uniq, _ = self.edges()
-        va = self.vertices[uniq[:, 0]]
-        vb_ = self.vertices[uniq[:, 1]]
-        mask = np.zeros(len(uniq), dtype=bool)
-        for d in range(self.dim):
-            for val in (self.lower[d], self.upper[d]):
-                mask |= np.isclose(va[:, d], val) & np.isclose(vb_[:, d], val)
-        return mask
+        uniq_f, _, counts = self.faces()
+        bf = uniq_f[counts == 1]                    # sorted vertex tuples
+        if self.dim == 2:
+            sub = bf
+        else:
+            sub = np.concatenate([bf[:, [0, 1]], bf[:, [0, 2]],
+                                  bf[:, [1, 2]]], axis=0)
+        key_e = uniq[:, 0] * np.int64(self.nvertices) + uniq[:, 1]
+        key_b = sub[:, 0] * np.int64(self.nvertices) + sub[:, 1]
+        return np.isin(key_e, key_b)
+
+    def boundary_face_mask(self) -> np.ndarray:
+        """(NF,) bool: codim-1 faces with a single adjacent cell."""
+        _, _, counts = self.faces()
+        return counts == 1
 
     def submesh(self, cell_mask):
         """Restrict to the selected cells, compacting vertices (used to cut

@@ -127,43 +127,94 @@ class FunctionSpace:
         return g @ strides, dims
 
     def _build_simplex_c0_map(self):
-        """Conforming Pk DOF map on simplex meshes (k <= 2): vertex DOFs
-        numbered by mesh vertices, edge DOFs (k = 2) by the unique-edge list.
-        The element-local ordering follows the PkFEM lattice-node order by
-        classifying each node's barycentric position (vertex / edge
-        midpoint)."""
+        """Conforming Pk DOF map on simplex meshes, any k (reference:
+        dune/pdelab/finiteelementmap/pkfem.hh serving arbitrary-order
+        PkLocalFiniteElement).
+
+        Each PkFEM lattice node is classified by its integer barycentric
+        coordinates n_i = k*lambda_i (sum n_i = k):
+          * one n_i = k          -> vertex DOF (mesh vertex id);
+          * two nonzero          -> edge DOF; the k-1 interior nodes of each
+            unique edge are ordered along the GLOBAL edge direction
+            (ascending global vertex id), so both adjacent elements agree;
+          * three nonzero in 3D  -> face DOF; interior face nodes are
+            indexed by their barycentric weights w.r.t. the face's SORTED
+            global vertex triple — an orientation-independent enumeration
+            shared by the two adjacent tets;
+          * all nonzero          -> cell-interior DOF (element-private).
+
+        Global numbering: [vertices | edge interiors | face interiors (3D) |
+        cell interiors]."""
         mesh, fem = self.mesh, self.fem
         k = fem.degree
-        if k > 2:
+        if k < 1:
             raise NotImplementedError(
-                "simplex C0 spaces support k <= 2 (edge-orientation handling "
-                "for k >= 3 not implemented)")
-        from dune_pdelab_tpu.fe.basis import PkFEM
-        geo_nodes = PkFEM(1, mesh.dim).nodes          # order matches corners
+                "conforming simplex spaces need k >= 1 (use continuity='DG' "
+                "for P0)")
+        dim = mesh.dim
+        cells = mesh.cells
+        E = mesh.nelements
+        nv = mesh.nvertices
+        # integer barycentrics of the Pk lattice nodes; geometry corner
+        # convention (fe/basis.py PkFEM(1, dim).nodes): lambda_0 = 1 - sum x,
+        # lambda_j = x[dim - j] for j = 1..dim
+        bary = np.zeros((fem.nbasis, dim + 1))
+        bary[:, 0] = 1.0 - fem.nodes.sum(axis=1)
+        for j in range(1, dim + 1):
+            bary[:, j] = fem.nodes[:, dim - j]
+        n_int = np.rint(k * bary).astype(np.int64)        # (nb, dim+1)
+        assert np.all(n_int.sum(axis=1) == k)
+
+        uniq_edges, cell_edges = mesh.edges()
+        pairs = mesh._edge_pairs
+        ne_per = max(k - 1, 0)
+        edge_base = nv
+        face_base = edge_base + len(uniq_edges) * ne_per
+        nfi = (k - 1) * (k - 2) // 2 if dim == 3 else 0
+        if dim == 3 and nfi:
+            uniq_faces, face_of, _ = mesh.faces()
+            # face id of the face spanned by local vertices {a,b,c} = the
+            # face OPPOSITE the remaining local vertex
+            # rank table for interior-face enumeration by (m0, m1), the
+            # barycentric weights w.r.t. the two smallest global vertex ids
+            franks = np.full((k, k), -1, np.int64)
+            c = 0
+            for m0 in range(1, k):
+                for m1 in range(1, k - m0):
+                    franks[m0, m1] = c
+                    c += 1
+            cell_base = face_base + len(uniq_faces) * nfi
+        else:
+            cell_base = face_base
+        n_cell = int(np.sum(np.all(n_int >= 1, axis=1)))  # interior per cell
+
         cols = []
-        if k == 2:
-            uniq_edges, cell_edges = mesh.edges()
-            pairs = mesh._edge_pairs
-        for node in fem.nodes:
-            # vertex node?
-            vmatch = np.where(np.all(np.isclose(geo_nodes, node), axis=1))[0]
-            if len(vmatch):
-                cols.append(mesh.cells[:, int(vmatch[0])])
-                continue
-            # edge midpoint (k == 2)
-            found = False
-            for a in range(mesh.dim + 1):
-                for b in range(a + 1, mesh.dim + 1):
-                    mid = 0.5 * (geo_nodes[a] + geo_nodes[b])
-                    if np.allclose(mid, node):
-                        eloc = pairs.index((a, b))
-                        cols.append(mesh.nvertices + cell_edges[:, eloc])
-                        found = True
-                        break
-                if found:
-                    break
-            if not found:
-                raise NotImplementedError(f"unclassified Pk node {node}")
+        n_interior_seen = 0
+        for b in range(fem.nbasis):
+            n = n_int[b]
+            nz = np.nonzero(n)[0]
+            if len(nz) == 1:                              # vertex
+                cols.append(cells[:, nz[0]])
+            elif len(nz) == 2:                            # edge interior
+                a, bb = int(nz[0]), int(nz[1])            # a < bb
+                eloc = pairs.index((a, bb))
+                j = int(n[bb])                            # param from a
+                ga, gb = cells[:, a], cells[:, bb]
+                jg = np.where(ga < gb, j - 1, k - 1 - j)
+                cols.append(edge_base + cell_edges[:, eloc] * ne_per + jg)
+            elif dim == 3 and len(nz) == 3:               # face interior
+                opp = int(np.setdiff1d(np.arange(4), nz)[0])
+                fid = face_of[:, opp]                     # (E,)
+                gloc = cells[:, nz]                       # (E, 3) global ids
+                order = np.argsort(gloc, axis=1)          # sorted positions
+                w = n[nz][order]                          # (E, 3) weights in
+                idx = franks[w[:, 0], w[:, 1]]            # sorted-global order
+                cols.append(face_base + fid * nfi + idx)
+            else:                                         # cell interior
+                cols.append(cell_base
+                            + np.arange(E, dtype=np.int64) * n_cell
+                            + n_interior_seen)
+                n_interior_seen += 1
         return np.stack(cols, axis=1)
 
     def boundary_dof_mask(self) -> np.ndarray:
@@ -172,12 +223,20 @@ class FunctionSpace:
         if isinstance(self.mesh, AdaptiveMesh):
             return self.mesh.boundary_vertex_mask()
         if self.mesh.geometry_type == "simplex":
+            mesh, k = self.mesh, self.fem.degree
             mask = np.zeros(self.ndofs, dtype=bool)
-            nv = self.mesh.nvertices
-            vmask = self.mesh.boundary_vertex_mask()
+            nv = mesh.nvertices
+            vmask = mesh.boundary_vertex_mask()
             mask[:nv] = vmask[:min(nv, self.ndofs)]
-            if self.fem.degree == 2 and self.ndofs > nv:
-                mask[nv:] = self.mesh.boundary_edge_mask()
+            base = nv
+            if k >= 2 and self.ndofs > nv:
+                em = mesh.boundary_edge_mask()
+                mask[base:base + len(em) * (k - 1)] = np.repeat(em, k - 1)
+                base += len(em) * (k - 1)
+            if mesh.dim == 3 and k >= 3:
+                nfi = (k - 1) * (k - 2) // 2
+                fm = mesh.boundary_face_mask()
+                mask[base:base + len(fm) * nfi] = np.repeat(fm, nfi)
             return mask
         if self.fem.continuity in ("Hdiv", "Mimetic"):
             # face-lattice DOFs: boundary = extreme index along the face axis
@@ -355,6 +414,9 @@ class FunctionSpace:
         (for essential n x u = 0 constraints on H(curl) spaces)."""
         assert self.fem.continuity == "Hcurl"
         mesh = self.mesh
+        if mesh.geometry_type == "simplex":
+            # edge DOFs == unique edges; boundary = topological
+            return mesh.boundary_edge_mask()
         dim = mesh.dim
         mask = np.zeros(self.ndofs, dtype=bool)
         for a in range(dim):

@@ -14,9 +14,9 @@ from dune_pdelab_tpu.fe import (
 )
 from dune_pdelab_tpu.fe.hdiv import (
     RT0Cube, BDM1Cube, RT0Simplex2D, RT0Simplex3D, BDM1Simplex2D,
-    RT1Simplex2D, RTkCube2D,
+    RT1Simplex2D, RTkCube2D, RTkCube3D,
 )
-from dune_pdelab_tpu.fe.hcurl import N0Cube
+from dune_pdelab_tpu.fe.hcurl import N0Cube, N0Simplex
 from dune_pdelab_tpu.fe.mimetic import MimeticFEM
 from dune_pdelab_tpu.mesh.simplex import SimplexMesh
 from dune_pdelab_tpu.space.functions import l2_difference
@@ -50,7 +50,11 @@ SCALAR_FEMS = [
     (lambda: RannacherTurekFEM(2), 2, "cube"),
     (lambda: PkFEM(1, 2), 2, "simplex"),
     (lambda: PkFEM(2, 2), 2, "simplex"),
+    (lambda: PkFEM(3, 2), 2, "simplex"),
+    (lambda: PkFEM(4, 2), 2, "simplex"),
     (lambda: PkFEM(1, 3), 3, "simplex"),
+    (lambda: PkFEM(2, 3), 3, "simplex"),
+    (lambda: PkFEM(3, 3), 3, "simplex"),
     (lambda: PkDGFEM(1, 2), 2, "simplex"),
     (lambda: PkDGFEM(2, 2), 2, "simplex"),
     (lambda: MimeticFEM(2), 2, "cube"),
@@ -86,6 +90,9 @@ VECTOR_FEMS = [
     (lambda: RT1Simplex2D(), 2, "simplex"),
     (lambda: N0Cube(2), 2, "cube"),
     (lambda: N0Cube(3), 3, "cube"),
+    (lambda: RTkCube3D(1), 3, "cube"),
+    (lambda: N0Simplex(2), 2, "simplex"),
+    (lambda: N0Simplex(3), 3, "simplex"),
 ]
 
 
