@@ -14,11 +14,21 @@ import os
 import numpy as np
 
 
-_VTK_CELL = {2: 9, 3: 12}  # QUAD, HEXAHEDRON
+_VTK_CELL = {2: 9, 3: 12}           # QUAD, HEXAHEDRON
+_VTK_CELL_SIMPLEX = {2: 5, 3: 10}   # TRIANGLE, TETRA
 
 
-def _vtk_corner_order(dim: int):
-    """Map our bit-ordered corners to VTK node order."""
+def _cell_type(mesh) -> int:
+    if getattr(mesh, "geometry_type", "cube") == "simplex":
+        return _VTK_CELL_SIMPLEX.get(mesh.dim, 5)
+    return _VTK_CELL.get(mesh.dim, 3)
+
+
+def _vtk_corner_order(dim: int, geometry: str = "cube"):
+    """Map our corner order to VTK node order (bit order for cubes;
+    simplex corners pass through — any consistent order is valid VTK)."""
+    if geometry == "simplex":
+        return list(range(dim + 1))
     if dim == 1:
         return [0, 1]
     if dim == 2:
@@ -94,7 +104,9 @@ class VTKWriter:
         if mesh.dim < 3:
             pts = np.concatenate(
                 [pts, np.zeros((len(pts), 3 - mesh.dim))], axis=1)
-        conn = mesh.element_vertex_indices()[:, _vtk_corner_order(mesh.dim)]
+        conn = mesh.element_vertex_indices()[
+            :, _vtk_corner_order(mesh.dim,
+                                 getattr(mesh, 'geometry_type', 'cube'))]
         use_binary = (binary is True
                       or (binary is None and mesh.nvertices > 65536))
         if use_binary:
@@ -102,14 +114,14 @@ class VTKWriter:
                 from dune_pdelab_tpu.io import vtk_binary
                 if vtk_binary.available():
                     return vtk_binary.write_vtu_binary(
-                        path, pts, conn, _VTK_CELL.get(mesh.dim, 3),
+                        path, pts, conn, _cell_type(mesh),
                         self.point_data, self.cell_data)
             except Exception:
                 if binary is True:
                     raise
         ncorn = conn.shape[1]
         offsets = np.arange(1, mesh.nelements + 1) * ncorn
-        types = np.full(mesh.nelements, _VTK_CELL.get(mesh.dim, 3))
+        types = np.full(mesh.nelements, _cell_type(mesh))
 
         def arr_to_txt(a, fmt="%.10g"):
             return "\n".join(" ".join(fmt % v for v in np.atleast_1d(row))
@@ -159,6 +171,109 @@ class VTKWriter:
         with open(path, "w") as f:
             f.write(xml)
         return path
+
+
+class ParallelVTKWriter:
+    """Partitioned output: one .vtu piece per shard + a .pvtu master index
+    (the analog of the reference's parallel VTK path,
+    dune/pdelab/gridfunctionspace/vtk.hh:65-400 with dune-grid's
+    VTKWriter<GV>::pwrite producing s####-p####-*.vtu + .pvtu).
+
+    Pieces are element partitions (`element_owner`, e.g. the partition of a
+    WindowShardedGridOperator); fields are evaluated globally on host and
+    restricted per piece, so the output is identical to what per-rank
+    writers would produce — without requiring the solve to have run
+    sharded."""
+
+    def __init__(self, mesh, element_owner, nshards: int | None = None):
+        self.mesh = mesh
+        self.owner = np.asarray(element_owner)
+        if len(self.owner) != mesh.nelements:
+            raise ValueError("element_owner length != nelements")
+        self.nshards = (int(self.owner.max()) + 1 if nshards is None
+                        else int(nshards))
+        self.point_data: dict[str, np.ndarray] = {}
+        self.cell_data: dict[str, np.ndarray] = {}
+
+    add_field = VTKWriter.add_field
+    add_vector_field = VTKWriter.add_vector_field
+
+    def write(self, basename: str) -> str:
+        """Write `basename_p{r}.vtu` for each shard + `basename.pvtu`;
+        returns the .pvtu path."""
+        import os
+        mesh = self.mesh
+        base = basename[:-5] if basename.endswith(".pvtu") else basename
+        pts_all = mesh.vertex_coords()
+        if mesh.dim < 3:
+            pts_all = np.concatenate(
+                [pts_all, np.zeros((len(pts_all), 3 - mesh.dim))], axis=1)
+        geo = getattr(mesh, "geometry_type", "cube")
+        conn_all = mesh.element_vertex_indices()[
+            :, _vtk_corner_order(mesh.dim, geo)]
+        ctype = _cell_type(mesh)
+        piece_files = []
+        for r in range(self.nshards):
+            sel = np.nonzero(self.owner == r)[0]
+            conn = conn_all[sel]
+            used = np.unique(conn.ravel())
+            remap = np.full(mesh.nvertices, -1, np.int64)
+            remap[used] = np.arange(len(used))
+            w = VTKWriter.__new__(VTKWriter)
+            w.mesh = _PieceMesh(pts_all[used], remap[conn],
+                                mesh.dim, ctype, geo)
+            w.point_data = {k: v[used] for k, v in self.point_data.items()}
+            w.cell_data = {k: v[sel] for k, v in self.cell_data.items()}
+            piece_files.append(w.write(f"{base}_p{r}.vtu", binary=False))
+
+        def pdecl(data):
+            return "\n".join(
+                f'<PDataArray type="Float64" Name="{k}" '
+                f'NumberOfComponents="{v.shape[1] if v.ndim > 1 else 1}"/>'
+                for k, v in data.items())
+
+        pieces = "\n".join(
+            f'<Piece Source="{os.path.basename(f)}"/>' for f in piece_files)
+        xml = f"""<?xml version="1.0"?>
+<VTKFile type="PUnstructuredGrid" version="0.1" byte_order="LittleEndian">
+<PUnstructuredGrid GhostLevel="0">
+<PPointData>
+{pdecl(self.point_data)}
+</PPointData>
+<PCellData>
+{pdecl(self.cell_data)}
+</PCellData>
+<PPoints>
+<PDataArray type="Float64" NumberOfComponents="3"/>
+</PPoints>
+{pieces}
+</PUnstructuredGrid>
+</VTKFile>
+"""
+        path = base + ".pvtu"
+        with open(path, "w") as f:
+            f.write(xml)
+        return path
+
+
+class _PieceMesh:
+    """Minimal mesh facade for writing one partition piece."""
+
+    def __init__(self, pts, conn, dim, ctype, geometry="cube"):
+        self._pts = pts
+        self._conn = conn
+        self.dim = dim
+        self.geometry_type = geometry
+        self.nvertices = len(pts)
+        self.nelements = len(conn)
+
+    def vertex_coords(self):
+        return self._pts[:, :self.dim]
+
+    def element_vertex_indices(self):
+        # already in VTK corner order — undo the writer's reorder
+        inv = np.argsort(_vtk_corner_order(self.dim, self.geometry_type))
+        return self._conn[:, inv]
 
 
 class VTKSequenceWriter:

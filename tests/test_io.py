@@ -92,3 +92,48 @@ def test_binary_vtu_speed_smoke(tmp_path):
     dt = time.perf_counter() - t0
     assert dt < 10.0, dt
     assert os.path.getsize(str(tmp_path / "big.vtu")) > 8 * 1024**2
+
+
+def test_pvtu_parallel_pieces(tmp_path):
+    """ParallelVTKWriter: per-shard .vtu pieces + .pvtu master referencing
+    them; piece cell counts sum to the mesh total; point data restricted
+    consistently (vtk.hh:65-400 parallel path analog)."""
+    from dune_pdelab_tpu.io import ParallelVTKWriter
+
+    mesh = StructuredMesh([0, 0], [1, 1], (4, 4))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    x = V.interpolate(lambda p: p[:, 0] + 2 * p[:, 1])
+    owner = np.repeat(np.arange(4), 4)          # 4 shards of 4 elements
+    w = ParallelVTKWriter(mesh, owner).add_field(V, x, "u")
+    path = w.write(str(tmp_path / "par"))
+    assert path.endswith(".pvtu")
+    tree = ET.parse(path)
+    pieces = tree.findall(".//Piece")
+    assert len(pieces) == 4
+    total = 0
+    for pc in pieces:
+        sub = ET.parse(os.path.join(os.path.dirname(path),
+                                    pc.get("Source")))
+        el = sub.find(".//Piece")
+        total += int(el.get("NumberOfCells"))
+        da = sub.find(".//PointData/DataArray")
+        assert da.get("Name") == "u"
+    assert total == mesh.nelements
+    decl = tree.find(".//PPointData/PDataArray")
+    assert decl.get("Name") == "u"
+
+
+def test_vtu_simplex_mesh(tmp_path):
+    """Simplex meshes write TRIANGLE/TETRA cells."""
+    from dune_pdelab_tpu.mesh.simplex import SimplexMesh
+    from dune_pdelab_tpu.fe import PkFEM
+
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0], [1, 1], (2, 2)))
+    V = FunctionSpace(sm, PkFEM(1, 2))
+    x = V.interpolate(lambda p: p[:, 0] - p[:, 1])
+    path = VTKWriter(sm).add_field(V, x, "u").write(
+        str(tmp_path / "tri"), binary=False)
+    tree = ET.parse(path)
+    types = tree.find(".//Cells/DataArray[@Name='types']").text.split()
+    assert set(types) == {"5"}                   # VTK_TRIANGLE
+    assert tree.find(".//Piece").get("NumberOfCells") == str(sm.nelements)
