@@ -36,6 +36,30 @@ def timeit(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps, s
 
 
+def timeit_chain(apply, z, K=20, reps=3):
+    """Time K chained applies inside ONE jitted scan — per-dispatch relay
+    latency (~2 ms, PERFORMANCE.md) would otherwise dominate a single
+    SpMV; Krylov loops run the operator device-side exactly like this."""
+    from jax import lax
+
+    @jax.jit
+    def chain(z):
+        # normalize each step so fp32 doesn't overflow across the chain
+        def body(z, _):
+            y = apply(z)
+            return y / jnp.max(jnp.abs(y)), None
+        z, _ = lax.scan(body, z, None, length=K)
+        return z
+
+    y = chain(z)
+    sync(y)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = chain(z)
+    s = sync(y)
+    return (time.perf_counter() - t0) / reps / K, s
+
+
 def main():
     import dune_pdelab_tpu as pt
     from dune_pdelab_tpu.ops import (
@@ -84,10 +108,13 @@ def main():
 
     z = jnp.asarray(np.random.default_rng(0).standard_normal(N), dtype)
 
-    # --- plain XLA ELL apply ---
-    t_xla, s1 = timeit(ell, z)
-    print(f"[assembled] XLA ELL SpMV: {t_xla*1e3:.2f} ms = "
-          f"{N/t_xla/1e9:.2f} Gdof/s", file=sys.stderr, flush=True)
+    # --- plain XLA ELL apply (the 27-term dynamic-slice lowering hangs the
+    # remote XLA compiler at 16M+; measure it only at small N) ---
+    s1 = None
+    if N <= 4_000_000 or os.environ.get("BENCH_XLA_ELL") == "1":
+        t_xla, s1 = timeit(ell, z)
+        print(f"[assembled] XLA ELL SpMV: {t_xla*1e3:.2f} ms = "
+              f"{N/t_xla/1e9:.2f} Gdof/s", file=sys.stderr, flush=True)
 
     # --- plane-streamed Pallas ---
     streamed = try_plane_ell(ell)
@@ -97,14 +124,16 @@ def main():
     t_p, s2 = timeit(streamed, z)
     gbs = 30.0 * N * 4 / t_p / 1e9
     print(f"[assembled] Pallas plane ELL SpMV: {t_p*1e3:.2f} ms = "
-          f"{N/t_p/1e9:.2f} Gdof/s, {gbs:.0f} GB/s on 30N model "
-          f"(sumdiff={abs(s1-s2):.3e})", file=sys.stderr, flush=True)
+          f"{N/t_p/1e9:.2f} Gdof/s, {gbs:.0f} GB/s on 30N model",
+          file=sys.stderr, flush=True)
 
-    # parity spot-check on a subvector
-    y1 = np.asarray(ell(z))[: 1 << 20]
-    y2 = np.asarray(streamed(z))[: 1 << 20]
-    rel = np.linalg.norm(y1 - y2) / max(1.0, np.linalg.norm(y1))
-    print(f"[assembled] parity (first 1M rows): rel={rel:.2e}",
+    # parity oracle vs the matrix-free apply (always available)
+    zc = jnp.asarray(np.random.default_rng(1).standard_normal(N), dtype)
+    y_mf = go.jacobian_apply(x0, zc)
+    y_p = streamed(zc)
+    rel = float(jnp.linalg.norm(y_mf - y_p) /
+                jnp.maximum(1.0, jnp.linalg.norm(y_mf)))
+    print(f"[assembled] parity streamed-vs-matrix-free: rel={rel:.2e}",
           file=sys.stderr, flush=True)
 
 

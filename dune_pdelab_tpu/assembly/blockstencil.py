@@ -217,13 +217,15 @@ class BlockEllMatrix:
         self.nb = int(nb)
         self.offsets = np.asarray(offsets)   # (ntaps, dim)
         self.values = values                 # (ntaps, *grid_rev, nb, nb) jnp
+        # values as jit argument (GB-scale captured constants break the
+        # remote-compile relay)
         self._apply = jax.jit(self._apply_impl)
 
     @property
     def ndofs(self):
         return int(np.prod(self.cells)) * self.nb
 
-    def _apply_impl(self, z):
+    def _apply_impl(self, z, values):
         cells = self.cells
         dim = len(cells)
         grid_rev = tuple(reversed(cells))
@@ -231,7 +233,7 @@ class BlockEllMatrix:
         pad = [(1, 1)] * dim + [(0, 0)]
         gp = jnp.pad(zb, pad)
         out = None
-        V = self.values.astype(z.dtype)
+        V = values.astype(z.dtype)
         for t, off in enumerate(self.offsets):
             start = tuple(1 + int(off[d]) for d in reversed(range(dim)))
             piece = lax.dynamic_slice(gp, start + (0,),
@@ -241,7 +243,7 @@ class BlockEllMatrix:
         return out.reshape(-1)
 
     def __call__(self, z):
-        return self._apply(z)
+        return self._apply(z, self.values)
 
     def pattern_stats(self):
         E = int(np.prod(self.cells))

@@ -44,12 +44,15 @@ class EllMatrix:
         self.values = values                 # (ntaps, *grid_shape) jnp array
         self.mask = mask                     # (N,) bool or None
         self.grid_shape = tuple(reversed(dims))
+        # values/mask enter as jit ARGUMENTS, not captured constants: the
+        # remote-compile relay ships captured constants in the compile
+        # request, which breaks (broken pipe) at GB-scale value arrays
         self._apply = jax.jit(self._apply_impl)
 
-    def _apply_impl(self, z):
+    def _apply_impl(self, z, values, mask):
         k = self.k
         dim = len(self.dims)
-        zf = jnp.where(self.mask, 0.0, z) if self.mask is not None else z
+        zf = jnp.where(mask, 0.0, z) if mask is not None else z
         grid = zf.reshape(self.grid_shape)
         gp = jnp.pad(grid, k)
         out = None
@@ -57,15 +60,15 @@ class EllMatrix:
             off = self.offsets[t]
             start = tuple(k + int(off[d]) for d in reversed(range(dim)))
             piece = lax.dynamic_slice(gp, start, grid.shape)
-            term = self.values[t] * piece
+            term = values[t] * piece
             out = term if out is None else out + term
         y = out.reshape(-1)
-        if self.mask is not None:
-            y = jnp.where(self.mask, z, y)
+        if mask is not None:
+            y = jnp.where(mask, z, y)
         return y
 
     def __call__(self, z):
-        return self._apply(z)
+        return self._apply(z, self.values, self.mask)
 
     def pattern_stats(self):
         """Pattern statistics (reference: bcrspattern.hh bookkeeping)."""

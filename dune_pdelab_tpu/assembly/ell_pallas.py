@@ -119,10 +119,15 @@ def build_plane_ell_apply(dims, offsets, values, mask, interpret=False):
     )
 
     @jax.jit
-    def apply(z):
+    def _run(z, vals, mgrid):
         zg = z.astype(f32).reshape(nz, ny, nx)
         out = call(zg, vals, mgrid)
         return out.reshape(-1).astype(z.dtype)
+
+    def apply(z):
+        # vals/mgrid as jit arguments (GB-scale captured constants break
+        # the remote-compile relay)
+        return _run(z, vals, mgrid)
 
     return apply
 
