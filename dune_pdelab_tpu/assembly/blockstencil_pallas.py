@@ -171,6 +171,8 @@ def try_pallas_block_stencil(block_op, interpret=False, row_block=256):
     cells = block_op.cells
     if len(cells) not in (2, 3):
         return None
+    if np.asarray(block_op.W_taps).dtype == np.float64 and not interpret:
+        return None   # Pallas TPU has no f64; fp64 mode stays on XLA
     L = int(cells[0]) * block_op.nb
     if L % 128 != 0 and not interpret:
         return None

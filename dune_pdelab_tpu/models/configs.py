@@ -199,10 +199,174 @@ def config5_stokes_taylor_hood(cells=8, reduction=1e-9):
             "ndofs": W.ndofs, "converged": slp.result.converged}
 
 
+def config6_adaptive_lshape(cycles=4, reduction=1e-12):
+    """(6) Adaptive L-shape corner singularity: estimate -> mark -> bisect
+    trajectory on the simplex newest-vertex-bisection path (reference:
+    dune/pdelab/test/testadaptivity.cc; adaptivity/adaptivity.hh:632).
+    Golden keys: per-cycle ndofs + L2 error, final-solve CG iterations."""
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.adaptivity.adaptivity import (
+        error_fraction, mark_elements,
+    )
+    from dune_pdelab_tpu.adaptivity.local import (
+        adapt_local_simplex, p1_edge_jump_indicator,
+    )
+    from dune_pdelab_tpu.fe.basis import PkFEM
+    from dune_pdelab_tpu.mesh.simplex import SimplexMesh
+    from dune_pdelab_tpu.solvers import SEQ_CG_Jacobi
+    from dune_pdelab_tpu.solvers.stationary import (
+        StationaryLinearProblemSolver,
+    )
+
+    def u_exact(p):
+        r = np.hypot(p[:, 0], p[:, 1])
+        th = np.mod(np.arctan2(p[:, 1], p[:, 0]), 2 * np.pi)
+        return np.where(r == 0, 0.0, r ** (2 / 3) * np.sin(2 * th / 3))
+
+    class Corner(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.zeros(x.shape[:-1])
+
+        def g(self, x):
+            return jnp.asarray(u_exact(np.atleast_2d(np.asarray(x))))
+
+    def solve(V):
+        cgm = pt.constraints(True, V)
+        go = pt.GridOperator(V, ConvectionDiffusionFEM(Corner()),
+                             constraints=cgm)
+        x0 = pt.interpolate_dirichlet(
+            lambda q: u_exact(np.atleast_2d(q)), V, cgm, V.zero())
+        slp = StationaryLinearProblemSolver(
+            go, SEQ_CG_Jacobi(maxiter=20000), reduction=reduction)
+        return slp.apply(x0), slp.result.linear_solver_iterations
+
+    sq = SimplexMesh.from_structured(
+        pt.StructuredMesh([-1, -1], [1, 1], (8, 8)))
+    c = sq.element_centers()
+    mesh = sq.submesh(
+        ~((c[:, 0] > 0) & (c[:, 1] < 0))).oriented_for_bisection()
+    V = pt.FunctionSpace(mesh, PkFEM(1, 2))
+    x, its = solve(V)
+    out = {}
+    for cyc in range(cycles):
+        out[f"ndofs_cycle{cyc}"] = V.ndofs
+        out[f"l2_cycle{cyc}"] = float(l2_difference(V, x, u_exact))
+        eta2 = p1_edge_jump_indicator(V, x)
+        marks, _ = mark_elements(eta2, error_fraction(eta2, 0.5))
+        V, x = adapt_local_simplex(V, x, marks)
+        x, its = solve(V)
+    out["ndofs"] = V.ndofs
+    out["l2_error"] = float(l2_difference(V, x, u_exact))
+    out["iterations"] = its
+    return out
+
+
+def config7_dg_twolevel(cells=32, degree=1, reduction=1e-10):
+    """(7) SIPG DG Poisson with the two-level DG->CG multigrid
+    preconditioner (AMG-for-DG analog, reference:
+    backend/istl/seq_amg_dg_backend.hh:146). Golden: CG iteration count."""
+    from dune_pdelab_tpu.linalg import DGTwoLevel
+    from dune_pdelab_tpu.ops.convectiondiffusiondg import DGMethod
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.solvers.stationary import (
+        StationaryLinearProblemSolver,
+    )
+
+    p = _Sine2D()
+    mesh = StructuredGrid(2, cells)
+    V = DGSpace(mesh, degree)
+    go = GridOperator(V, ConvectionDiffusionDG(p, method=DGMethod.SIPG))
+    pre = DGTwoLevel(go, ConvectionDiffusionFEM(p),
+                     bctype=p.dirichlet_bctype())
+    ls = LinearSolverBackend(solver="cg", precond=pre, use_stencil=False)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=reduction,
+                                        verbose=0)
+    x = slp.apply(V.zero())
+    return {"l2_error": float(l2_difference(V, x, p.exact)),
+            "iterations": slp.result.linear_solver_iterations,
+            "ndofs": V.ndofs, "converged": slp.result.converged}
+
+
+def config8_windowed_sharded(cells=16, degree=1, reduction=1e-10):
+    """(8) Window-sharded SIPG DG solve on the full device set (8 virtual
+    CPU devices under the test/record harness): halo-only ppermute comm,
+    iteration parity with the sequential operator (reference parallel
+    oracle: novlpistlsolverbackend.hh:330 + MPI_RANKS test discipline).
+    Golden: sharded CG iterations + L2 error + device count."""
+    import jax as _jax
+    from dune_pdelab_tpu.ops.convectiondiffusiondg import DGMethod
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.parallel.windowed import WindowShardedGridOperator
+
+    p = _Sine2D()
+    mesh = StructuredGrid(2, cells)
+    V = DGSpace(mesh, degree)
+    go = GridOperator(V, ConvectionDiffusionDG(p, method=DGMethod.SIPG))
+    wgo = WindowShardedGridOperator(go, devices=_jax.devices())
+    b = go.residual(V.zero())
+    z, stats = wgo.solve_cg(V.zero(), b, diag=go.jacobian_diagonal(V.zero()),
+                            tol=reduction * float(jnp.linalg.norm(b)),
+                            maxiter=5000)
+    x = V.zero() - z
+    return {"l2_error": float(l2_difference(V, x, p.exact)),
+            "iterations": int(stats.iterations),
+            "ndofs": V.ndofs, "ndevices": len(_jax.devices())}
+
+
+def config9_assembled_ilu(cells=12, reduction=1e-10):
+    """(9) 3D variable-coefficient Poisson Q1 through the ASSEMBLED
+    lattice-ELL path with lattice ILU(0) CG (the BCRS + SEQ_CG_ILU0 analog,
+    reference: seqistlsolverbackend.hh:112-1060, bcrsmatrix.hh). Golden:
+    iteration count + L2 error; also pins assembled-vs-matrix-free parity
+    implicitly (ELL SpMV drives the Krylov loop)."""
+    from dune_pdelab_tpu.solvers import SEQ_CG_ILU0
+    from dune_pdelab_tpu.solvers.stationary import (
+        StationaryLinearProblemSolver,
+    )
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.constraints.dirichlet import constraints
+    import dune_pdelab_tpu as pt
+
+    class Var3D(_Sine3D):
+        # u = sin(pi x) sin(pi y) sin(pi z), A = a(x,y) I with
+        # a = 1 + 0.5 sin(2x) y  =>  f = 3 pi^2 a u - grad(a).grad(u)
+        def A(self, x):
+            a = 1.0 + 0.5 * jnp.sin(2 * x[..., 0]) * x[..., 1]
+            return a[..., None, None] * jnp.eye(x.shape[-1], dtype=x.dtype)
+
+        def f(self, x):
+            xx, yy, zz = x[..., 0], x[..., 1], x[..., 2]
+            sx, sy, sz = (jnp.sin(np.pi * xx), jnp.sin(np.pi * yy),
+                          jnp.sin(np.pi * zz))
+            a = 1.0 + 0.5 * jnp.sin(2 * xx) * yy
+            dax = jnp.cos(2 * xx) * yy
+            day = 0.5 * jnp.sin(2 * xx)
+            ux = np.pi * jnp.cos(np.pi * xx) * sy * sz
+            uy = np.pi * sx * jnp.cos(np.pi * yy) * sz
+            return 3 * np.pi**2 * a * sx * sy * sz - dax * ux - day * uy
+
+    p = Var3D()
+    mesh = StructuredGrid(3, cells)
+    V = CGSpace(mesh, 1)
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    ls = SEQ_CG_ILU0(use_stencil=False)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=reduction,
+                                        verbose=0)
+    x = slp.apply(V.zero())
+    return {"l2_error": float(l2_difference(V, x, p.exact)),
+            "iterations": slp.result.linear_solver_iterations,
+            "ndofs": V.ndofs, "converged": slp.result.converged}
+
+
 ALL_CONFIGS = {
     "config1": config1_poisson_2d_mf,
     "config2": config2_poisson_3d_gmg,
     "config3": config3_convdiff_sipg,
     "config4": config4_heat_theta_newton,
     "config5": config5_stokes_taylor_hood,
+    "config6": config6_adaptive_lshape,
+    "config7": config7_dg_twolevel,
+    "config8": config8_windowed_sharded,
+    "config9": config9_assembled_ilu,
 }

@@ -1,10 +1,15 @@
-"""Reference-parity oracles: the five BASELINE configs pinned against
-recorded golden numbers (tests/golden_parity.json, recorded fp64/CPU by
+"""Reference-parity oracles: the five BASELINE configs + four round-3
+scenarios (adaptive L-shape trajectory, DG two-level MG, window-sharded
+solve, assembled-ELL ILU0) pinned against recorded golden numbers
+(tests/golden_parity.json, recorded fp64/CPU/8-virtual-devices by
 tools/record_golden.py). Fails when solver semantics drift — the
 iteration-parity discipline of the reference's matrix-free oracle
 (/root/reference/dune/pdelab/test/matrixfree/matrix_free_linear.cc:4-8)
 applied to the whole config suite. Iteration counts must match EXACTLY;
-errors to 1e-8 relative (fp64 determinism)."""
+errors to 1e-8 relative (fp64 determinism).
+
+NOTE: goldens are SELF-recorded by this framework (drift detectors), not
+C++-reference-derived numbers — see record_golden.py's docstring."""
 import json
 import pathlib
 
@@ -15,13 +20,17 @@ from dune_pdelab_tpu.models import configs
 GOLDEN = json.loads(
     (pathlib.Path(__file__).parent / "golden_parity.json").read_text())
 
-_ITER_KEYS = ("iterations", "newton_iterations", "levels")
+_ITER_KEYS = ("iterations", "newton_iterations", "levels", "ndevices")
 _CONFIGS = {
     "config1_poisson_2d_mf": configs.config1_poisson_2d_mf,
     "config2_poisson_3d_gmg": configs.config2_poisson_3d_gmg,
     "config3_convdiff_sipg": configs.config3_convdiff_sipg,
     "config4_heat_theta_newton": configs.config4_heat_theta_newton,
     "config5_stokes_taylor_hood": configs.config5_stokes_taylor_hood,
+    "config6_adaptive_lshape": configs.config6_adaptive_lshape,
+    "config7_dg_twolevel": configs.config7_dg_twolevel,
+    "config8_windowed_sharded": configs.config8_windowed_sharded,
+    "config9_assembled_ilu": configs.config9_assembled_ilu,
 }
 
 
