@@ -1,17 +1,26 @@
-"""Benchmark: matrix-free CG DOF-throughput on 3D Poisson Q1 (single chip).
+"""Benchmark: BOTH halves of BASELINE.json's primary metric (single chip).
 
-The BASELINE.json primary metric: "matrix-free CG DOF-throughput" for 3D
-Poisson (north star: 100M DOFs on v5p-8 at >60% of HBM roofline). This runs
-the single-chip slice: fixed-iteration matrix-free CG on a Q1 structured
-grid, fp32 (TPU performance mode), and reports
+Primary metric: "assembled element residuals/sec/chip; matrix-free CG
+DOF-throughput" (north star: 100M DOFs on v5p-8 at >60% of HBM roofline).
 
+Matrix-free half (headline value): fixed-iteration matrix-free CG on a Q1
+structured grid, fp32 (TPU performance mode):
   value        = DOF-iterations / second (N * iters / wall)
   vs_baseline  = achieved fraction of HBM roofline under a simple byte model
-
 Byte model per CG iteration (fp32): the operator application streams the DOF
 vector through gather (read ~N), kernel, scatter-add (read+write ~2N), and
 the CG vector updates touch ~6 reads + 3 writes of N => ~12 N * 4 bytes.
 Roofline BW defaults to v5e (~819 GB/s); override with BENCH_HBM_GBPS.
+
+Assembled half (extra keys in the same JSON line, measured at 16.8M DOFs
+on a variable-coefficient 3D Poisson where no stencil compression exists):
+  assembled_residual_meps   general-path element residuals/sec (millions)
+  assembled_spmv_gdofs      plane-streamed Pallas lattice-ELL SpMV Gdof/s
+  assembled_spmv_gbps       bandwidth on the (27+3)*4 B/DOF traffic model
+(reference hot path analog: BCRS SpMV, dune/pdelab/backend/istl/
+bcrsmatrix.hh + seqistlsolverbackend.hh:112-1060). Disable with
+BENCH_ASSEMBLED=0; budget-capped by SIGALRM so a slow remote compile can
+never eat the headline measurement.
 
 Prints exactly one JSON line.
 """
@@ -121,13 +130,112 @@ def main():
     achieved_gbps = bytes_per_iter * int(it) / dt / 1e9
     vs_baseline = achieved_gbps / hbm_gbps
 
-    print(json.dumps({
+    out = {
         "metric": f"matrix-free CG DOF-iterations/sec (3D Poisson Q1, "
                   f"N={N}, fp32, {int(it)} iters)",
         "value": dof_iters_per_sec,
         "unit": "dof_iters/s",
         "vs_baseline": vs_baseline,
-    }))
+    }
+
+    if os.environ.get("BENCH_ASSEMBLED", "1") != "0":
+        try:
+            out.update(_with_timeout(
+                _assembled_half,
+                int(os.environ.get("BENCH_ASM_BUDGET_S", "2100")), log))
+        except BaseException as e:   # never lose the headline line
+            log(f"assembled half skipped: {type(e).__name__}: {e}")
+
+    print(json.dumps(out))
+
+
+def _with_timeout(fn, seconds, *args):
+    import signal
+
+    def handler(signum, frame):
+        raise TimeoutError(f"assembled-half budget ({seconds}s) exceeded")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn(*args)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _assembled_half(log, cells=None):
+    """Assembled element residuals/sec + assembled lattice-ELL SpMV at
+    16.8M DOFs, variable coefficients (no translation invariance — the
+    general assembly and assembled-matrix hot paths are exercised)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM)
+    from dune_pdelab_tpu.assembly.ell import assemble_ell_device
+    from dune_pdelab_tpu.assembly.ell_pallas import try_plane_ell
+
+    n = cells or int(os.environ.get("BENCH_ASM_CELLS", "255"))
+    dtype = jnp.float32
+
+    class VarCoeff(ConvectionDiffusionProblem):
+        def A(self, x):
+            a = 1.0 + 0.5 * jnp.sin(3 * x[..., 0]) * x[..., 1]
+            return a[..., None, None] * jnp.eye(x.shape[-1], dtype=x.dtype)
+
+        def c(self, x):
+            return 0.7 + x[..., 0]
+
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
+    V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
+    go = pt.GridOperator(V, ConvectionDiffusionFEM(VarCoeff()),
+                         constraints=pt.constraints(True, V),
+                         skip_boundary=True)
+    N, E = V.ndofs, mesh.nelements
+    log(f"assembled half: N={N} E={E}")
+
+    def sync(v):
+        return float(jnp.sum(v))
+
+    x0 = jnp.zeros(N, dtype)
+    sync(go.residual(x0))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        sync(go.residual(x0))
+    t_res = (time.perf_counter() - t0) / reps
+    log(f"assembled residual: {t_res*1e3:.2f} ms = "
+        f"{E/t_res/1e6:.1f} M elem-res/s")
+
+    t0 = time.perf_counter()
+    ell = assemble_ell_device(go, x_lin=x0)
+    sync(ell.values)
+    t_asm = time.perf_counter() - t0
+    log(f"ELL device assembly: {t_asm:.1f} s")
+
+    streamed = try_plane_ell(ell)
+    if streamed is None:
+        raise RuntimeError("plane ELL kernel not applicable")
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(N), dtype)
+    sync(streamed(z))          # compile
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        y = streamed(z)
+    sync(y)
+    t_p = (time.perf_counter() - t0) / reps
+    log(f"plane ELL SpMV: {t_p*1e3:.2f} ms = {N/t_p/1e9:.2f} Gdof/s")
+    return {
+        "assembled_N": N,
+        "assembled_residual_meps": E / t_res / 1e6,
+        "assembled_ell_build_s": t_asm,
+        "assembled_spmv_gdofs": N / t_p / 1e9,
+        "assembled_spmv_gbps": 30.0 * N * 4 / t_p / 1e9,
+    }
 
 
 if __name__ == "__main__":

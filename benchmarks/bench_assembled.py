@@ -39,7 +39,11 @@ def timeit(fn, *args, reps=5):
 def timeit_chain(apply, z, K=20, reps=3):
     """Time K chained applies inside ONE jitted scan — per-dispatch relay
     latency (~2 ms, PERFORMANCE.md) would otherwise dominate a single
-    SpMV; Krylov loops run the operator device-side exactly like this."""
+    SpMV; Krylov loops run the operator device-side exactly like this.
+    CAVEAT: the remote compiler drops the connection on scan-wrapped
+    Pallas kernels at 16M+ rows (broken pipe), so large-N timings fall
+    back to plain repeated dispatch (reported numbers are then
+    conservative by the ~2 ms dispatch latency per apply)."""
     from jax import lax
 
     @jax.jit
@@ -112,7 +116,7 @@ def main():
     # remote XLA compiler at 16M+; measure it only at small N) ---
     s1 = None
     if N <= 4_000_000 or os.environ.get("BENCH_XLA_ELL") == "1":
-        t_xla, s1 = timeit(ell, z)
+        t_xla, s1 = timeit_chain(ell, z)
         print(f"[assembled] XLA ELL SpMV: {t_xla*1e3:.2f} ms = "
               f"{N/t_xla/1e9:.2f} Gdof/s", file=sys.stderr, flush=True)
 
@@ -121,7 +125,10 @@ def main():
     if streamed is None:
         print("[assembled] plane kernel: not applicable", file=sys.stderr)
         return
-    t_p, s2 = timeit(streamed, z)
+    if N <= 4_000_000:
+        t_p, s2 = timeit_chain(streamed, z)
+    else:
+        t_p, s2 = timeit(streamed, z, reps=10)
     gbs = 30.0 * N * 4 / t_p / 1e9
     print(f"[assembled] Pallas plane ELL SpMV: {t_p*1e3:.2f} ms = "
           f"{N/t_p/1e9:.2f} Gdof/s, {gbs:.0f} GB/s on 30N model",

@@ -68,26 +68,27 @@ def main():
         print(f"[dg] lane-roll Pallas: {t_l*1e3:.2f} ms = "
               f"{N/t_l/1e9:.2f} Gdof/s", file=sys.stderr, flush=True)
 
-    mm = try_mm_block_stencil(st)
-    assert mm is not None
-    apply_flat, apply_mm, to_mm, from_mm = mm
-    t_f, s2 = timeit(apply_flat, z)
-    print(f"[dg] mode-major Pallas (flat, incl transposes): "
-          f"{t_f*1e3:.2f} ms = {N/t_f/1e9:.2f} Gdof/s",
-          file=sys.stderr, flush=True)
+    for mode in ("vpu", "mxu"):
+        mm = try_mm_block_stencil(st, mode=mode)
+        assert mm is not None
+        apply_flat, apply_mm, to_mm, from_mm = mm
+        t_f, s2 = timeit(apply_flat, z)
+        print(f"[dg] mode-major/{mode} (flat, incl transposes): "
+              f"{t_f*1e3:.2f} ms = {N/t_f/1e9:.2f} Gdof/s",
+              file=sys.stderr, flush=True)
 
-    zmm = to_mm(z)
-    zmm = jax.device_put(zmm)
-    t_m, s3 = timeit(apply_mm, zmm)
-    print(f"[dg] mode-major Pallas (mm-resident): {t_m*1e3:.2f} ms = "
-          f"{N/t_m/1e9:.2f} Gdof/s ({2*4*N/t_m/1e9:.0f} GB/s on 2N model)",
-          file=sys.stderr, flush=True)
+        zmm = jax.device_put(to_mm(z))
+        t_m, s3 = timeit(apply_mm, zmm)
+        print(f"[dg] mode-major/{mode} (mm-resident): {t_m*1e3:.2f} ms = "
+              f"{N/t_m/1e9:.2f} Gdof/s "
+              f"({2*4*N/t_m/1e9:.0f} GB/s on 2N model)",
+              file=sys.stderr, flush=True)
 
-    y0 = np.asarray(st(z))[: 1 << 20]
-    y2 = np.asarray(apply_flat(z))[: 1 << 20]
-    rel = np.linalg.norm(y0 - y2) / max(1.0, np.linalg.norm(y0))
-    print(f"[dg] parity (first 1M rows): rel={rel:.2e}",
-          file=sys.stderr, flush=True)
+        y0 = np.asarray(st(z))[: 1 << 20]
+        y2 = np.asarray(apply_flat(z))[: 1 << 20]
+        rel = np.linalg.norm(y0 - y2) / max(1.0, np.linalg.norm(y0))
+        print(f"[dg] parity vs XLA conv (first 1M rows, {mode}): "
+              f"rel={rel:.2e}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -171,8 +171,10 @@ def try_pallas_block_stencil(block_op, interpret=False, row_block=256):
     cells = block_op.cells
     if len(cells) not in (2, 3):
         return None
-    if np.asarray(block_op.W_taps).dtype == np.float64 and not interpret:
+    import jax
+    if jax.config.jax_enable_x64 and not interpret:
         return None   # Pallas TPU has no f64; fp64 mode stays on XLA
+        # (W_taps are float64 numpy even in fp32 mode — gate on x64)
     L = int(cells[0]) * block_op.nb
     if L % 128 != 0 and not interpret:
         return None

@@ -140,6 +140,9 @@ def try_plane_ell(ell, interpret=False):
         return None
     nx, ny, nz = ell.dims
     if not interpret:
+        import jax
+        if jax.config.jax_enable_x64:
+            return None   # Pallas TPU has no f64; fp64 mode stays on XLA
         if nx % 128 != 0 or ny % 8 != 0:
             return None
         # per-step VMEM: vals block x2 (pipelining) + 12 cached planes

@@ -252,8 +252,9 @@ def qualifies(stencil_op, interpret=False):
     (CPU testing) waives the alignment requirements."""
     if stencil_op.k != 1 or stencil_op.weights.shape[0] != 1:
         return False
-    if stencil_op.weights.dtype == jnp.float64 and not interpret:
+    if jax.config.jax_enable_x64 and not interpret:
         return False   # Pallas TPU has no f64; fp64 mode stays on XLA
+        # (weights are float64 numpy even in fp32 mode — gate on x64)
     dims = stencil_op.dims
     if len(dims) != 3:
         return False

@@ -92,8 +92,9 @@ def try_pallas_tiled_stencil(stencil_op, interpret=False, row_block=512):
     kernel with the same masked semantics; None if it does not qualify."""
     if stencil_op.k != 1 or stencil_op.weights.shape[0] != 1:
         return None
-    if stencil_op.weights.dtype == jnp.float64 and not interpret:
+    if jax.config.jax_enable_x64 and not interpret:
         return None   # Pallas TPU has no f64; fp64 mode stays on XLA
+        # (weights are float64 numpy even in fp32 mode — gate on x64)
     dims = stencil_op.dims
     if len(dims) != 3:
         return None

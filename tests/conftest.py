@@ -27,17 +27,46 @@ assert len(jax.devices()) == 8, (
 
 import pytest  # noqa: E402
 
-# Fast tier (`pytest -m fast`, the CI gate; the full 260+ suite takes
-# >25 min of jit compiles). Modules here must sum to < 5 min on this box.
+# Tiers. CI gate = `pytest -m "fast and not slow"` (< 5 min solo on this
+# box); everything else = `pytest -m slow -n 4` (see pytest.ini for the
+# xdist isolation rationale). Membership: a module named in _FAST_MODULES
+# or carrying its own `fast` pytestmark is gate material, EXCEPT tests
+# matched by _SLOW_OVERRIDES (heavy compiles/solves measured >= ~12 s) —
+# those get an added `slow` mark, which the gate expression excludes.
 _FAST_MODULES = {
     "test_mesh_space", "test_fe", "test_krylov",
     "test_fused_cg", "test_io", "test_checkpoint",
     "test_solver_utils", "test_boilerplate_config", "test_dgindicator",
 }
 
+# nodeid substrings demoted from the gate (measured durations in braces)
+_SLOW_OVERRIDES = (
+    "test_windowed.py",                       # ~1350s total; certified in
+                                              # the slow tier + dryrun gate
+    "test_instationary_stokes.py",            # 92s
+    "test_ell_device_assembly_matches_host",  # 188s
+    "test_geneo_box_subdomains_sparse",       # 172s
+    "test_gmg_chebyshev_smoother",            # 79s
+    "test_adaptive_beats_uniform_on_corner_singularity",   # 44s
+    "test_onestep_time_dependent_dirichlet",  # 23s
+    "test_pallas_block_stencil_interpret_parity",          # 20s
+    "test_mm_block_stencil_zblock_ring",      # 31s
+    "test_ilu1_beats_ilu0_iterations",        # 14s
+    "test_ilun_backend_solves_poisson",       # 12s
+    "test_geneo_lattice_ilu_production_path",  # 14s
+    "test_limited_advection_monotone",        # 12s
+    "test_geneo_two_level_scalability",       # 12s
+    "test_dgf_reentrant_corner_adaptive_solve",            # 12s
+)
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         name = item.module.__name__.rsplit(".", 1)[-1]
-        item.add_marker(pytest.mark.fast if name in _FAST_MODULES
-                        else pytest.mark.slow)
+        own_fast = any(m.name == "fast" for m in item.iter_markers())
+        demoted = any(s in item.nodeid for s in _SLOW_OVERRIDES)
+        if (name in _FAST_MODULES or own_fast) and not demoted:
+            if not own_fast:
+                item.add_marker(pytest.mark.fast)
+        else:
+            item.add_marker(pytest.mark.slow)

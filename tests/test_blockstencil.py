@@ -206,7 +206,8 @@ def test_block_ell_assembled_solve_matches_matrix_free():
     assert float(jnp.max(jnp.abs(out[True] - out[False]))) < 1e-8
 
 
-def test_mm_block_stencil_interpret_parity():
+@pytest.mark.parametrize("mode", ["vpu", "mxu"])
+def test_mm_block_stencil_interpret_parity(mode):
     """Mode-major Pallas lowering (interpret mode): fp32 parity with the
     general apply for 3D Q1 DG, including all face corrections."""
     from dune_pdelab_tpu.assembly.blockstencil_mm import try_mm_block_stencil
@@ -215,7 +216,7 @@ def test_mm_block_stencil_interpret_parity():
     V = FunctionSpace(mesh, QkDGFEM(1, 3))
     go = GridOperator(V, ConvectionDiffusionDG(Diff()))
     st = compile_block_stencil(go)
-    lowered = try_mm_block_stencil(st, interpret=True)
+    lowered = try_mm_block_stencil(st, interpret=True, mode=mode)
     assert lowered is not None
     apply_flat, apply_mm, to_mm, from_mm = lowered
     rng = np.random.default_rng(0)
@@ -228,3 +229,24 @@ def test_mm_block_stencil_interpret_parity():
     # mm roundtrip is exact
     z = jnp.asarray(rng.standard_normal(V.ndofs), jnp.float32)
     assert float(jnp.max(jnp.abs(from_mm(to_mm(z), z.dtype) - z))) == 0.0
+
+
+def test_mm_block_stencil_zblock_ring():
+    """z-blocked slab ring with multiple grid steps (bz=2 on nz=6 -> 3
+    steps): parity with the general apply across block boundaries."""
+    from dune_pdelab_tpu.assembly.blockstencil_mm import try_mm_block_stencil
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (6, 5, 6))
+    V = FunctionSpace(mesh, QkDGFEM(1, 3))
+    go = GridOperator(V, ConvectionDiffusionDG(Diff()))
+    st = compile_block_stencil(go)
+    assert st is not None
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal(V.ndofs), jnp.float32)
+    y1 = np.asarray(go.jacobian_apply(jnp.zeros(V.ndofs, jnp.float32), z))
+    for mode in ("vpu", "mxu"):
+        lowered = try_mm_block_stencil(st, interpret=True, bz=2, mode=mode)
+        assert lowered is not None
+        y2 = np.asarray(lowered[0](z))
+        rel = np.abs(y1 - y2).max() / max(1.0, np.abs(y1).max())
+        assert rel < 1e-5, (mode, rel)
