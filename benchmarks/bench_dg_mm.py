@@ -68,8 +68,10 @@ def main():
         print(f"[dg] lane-roll Pallas: {t_l*1e3:.2f} ms = "
               f"{N/t_l/1e9:.2f} Gdof/s", file=sys.stderr, flush=True)
 
-    for mode in ("vpu", "mxu"):
-        mm = try_mm_block_stencil(st, mode=mode)
+    bz = int(os.environ.get("DG_BZ", "8"))
+    modes = os.environ.get("DG_MODES", "vpu,mxu").split(",")
+    for mode in modes:
+        mm = try_mm_block_stencil(st, mode=mode, bz=bz)
         assert mm is not None
         apply_flat, apply_mm, to_mm, from_mm = mm
         t_f, s2 = timeit(apply_flat, z)

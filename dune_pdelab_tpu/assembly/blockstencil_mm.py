@@ -229,8 +229,14 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
     W = {o: np.zeros((nb, nb)) for o in order}
     for t, o in enumerate(offs):
         W[o] = np.asarray(W_taps[t], np.float64)
-    # Wcat rows = output modes; columns grouped per segment in `order`
-    Wcat = jnp.asarray(np.concatenate([W[o] for o in order], axis=1), f32)
+    # Wcat rows = output modes; columns grouped per segment: the 7 taps in
+    # `order`, then the 6 per-face diagonal corrections dD (applied to
+    # face-masked copies of the current plane) — the whole apply incl.
+    # boundary handling is ONE matmul, no post-kernel slice updates.
+    dD_np = np.asarray(dD_sides, np.float64)          # (3, 2, nb, nb)
+    Wcat = jnp.asarray(np.concatenate(
+        [W[o] for o in order]
+        + [dD_np[d, s] for d in range(3) for s in (0, 1)], axis=1), f32)
 
     def slab_dma(z_hbm, raw, sems, zb, slot):
         copies = []
@@ -256,7 +262,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         for c in slab_dma(z_hbm, raw, sems, zb, zb % 2):
             c.wait()
 
-        pi = jax.lax.broadcasted_iota(jnp.int32, (nb, L), 1)
+        pi = jax.lax.broadcasted_iota(jnp.int32, (1, nb, L), 2)
         xc = pi % nx                     # x column of the flat position
         mxm = (xc >= 1).astype(f32)      # x-1 exists
         mxp = (xc <= nx - 2).astype(f32)
@@ -265,31 +271,41 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         slot = zb % 2
         wc = wcat_ref[...]
 
+        # whole-block segment construction: ONE roll/multiply per segment
+        # per grid step (the per-plane variant was op-dispatch-bound)
+        cur = raw[slot, 1:bz + 1]        # (bz, nb, L)
+        prv = raw[slot, 0:bz]
+        nxt = raw[slot, 2:bz + 2]
+        zi = zb * bz + jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
+        zm = (zi > 0).astype(f32)        # z-1 exists (per plane of block)
+        zp = (zi < nz - 1).astype(f32)
+        segs = [
+            cur,
+            mxm * pltpu.roll(cur, 1, 2),
+            mxp * pltpu.roll(cur, L - 1, 2),
+            mym * pltpu.roll(cur, nx, 2),
+            myp * pltpu.roll(cur, L - nx, 2),
+            zm * prv,
+            zp * nxt,
+            # face-masked copies for the dD boundary corrections
+            (1.0 - mxm) * cur,
+            (1.0 - mxp) * cur,
+            (1.0 - mym) * cur,
+            (1.0 - myp) * cur,
+            (1.0 - zm) * cur,
+            (1.0 - zp) * cur,
+        ]
+        scat = jnp.concatenate(segs, axis=1)       # (bz, 13*nb, L)
         for j in range(bz):
-            zg = zb * bz + j
-            zm = jnp.where(zg > 0, 1.0, 0.0).astype(f32)
-            zp = jnp.where(zg < nz - 1, 1.0, 0.0).astype(f32)
-
-            cur = raw[slot, j + 1]       # (nb, L)
-            segs = [
-                cur,
-                mxm * pltpu.roll(cur, 1, 1),
-                mxp * pltpu.roll(cur, L - 1, 1),
-                mym * pltpu.roll(cur, nx, 1),
-                myp * pltpu.roll(cur, L - nx, 1),
-                zm * raw[slot, j],
-                zp * raw[slot, j + 2],
-            ]
-            scat = jnp.concatenate(segs, axis=0)          # (7*nb, L)
             out_ref[j] = jax.lax.dot_general(
-                wc, scat, (((1,), (0,)), ((), ())),
+                wc, scat[j], (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)
 
     call = pl.pallas_call(
         kernel,
         grid=(nzb,),
         in_specs=[
-            pl.BlockSpec((nb, 7 * nb), lambda zb: (0, 0),
+            pl.BlockSpec((nb, 13 * nb), lambda zb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -305,6 +321,142 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         interpret=interpret,
     )
 
+    def to_mm(zflat):
+        return jnp.transpose(
+            zflat.astype(f32).reshape(nz, ny, nx, nb), (0, 3, 1, 2))
+
+    def from_mm(zmm, dtype=jnp.float32):
+        return jnp.transpose(zmm, (0, 2, 3, 1)).reshape(-1).astype(dtype)
+
+    def apply_mm(zmm):
+        # boundary corrections ride the matmul (face-masked segments) —
+        # the kernel output is final
+        return call(Wcat, zmm.reshape(nz, nb, L)).reshape(nz, nb, ny, nx)
+
+    @jax.jit
+    def apply_flat(zflat):
+        return from_mm(apply_mm(to_mm(zflat)), zflat.dtype)
+
+    return apply_flat, jax.jit(apply_mm), to_mm, from_mm
+
+
+def build_mm_vreg_apply(cells, nb, W_taps, offsets, dD_sides,
+                        interpret=False):
+    """VREG-resident tile variant: per z-plane and per 8-row y-block, the
+    nb mode tiles (8, nx) and their six shifted variants are materialized
+    once and ALL 7*nb^2 tap FMAs run register-resident (the fused-CG
+    structure with modes as a leading dim). The VMEM-streaming variants
+    ('mxu'/'vpu') are bound at ~7 ms/apply at 128^3 Q1 DG because every
+    plane-op re-streams its operands through VMEM; here each input tile is
+    read once per y-block.
+
+    The per-side dD boundary corrections stay as O(surface) XLA updates
+    outside the kernel (as in the original plane kernel). 3D only;
+    ny % 8 == 0 and lane-aligned nx required on hardware."""
+    nx, ny, nz = int(cells[0]), int(cells[1]), int(cells[2])
+    nb = int(nb)
+    f32 = jnp.float32
+    nyb = ny // 8
+
+    W = {}
+    for t, off in enumerate(np.asarray(offsets)):
+        W[(int(off[0]), int(off[1]), int(off[2]))] = np.asarray(
+            W_taps[t], np.float64)
+    W0 = W[(0, 0, 0)]
+    Wxm, Wxp = W.get((-1, 0, 0)), W.get((1, 0, 0))
+    Wym, Wyp = W.get((0, -1, 0)), W.get((0, 1, 0))
+    Wzm, Wzp = W.get((0, 0, -1)), W.get((0, 0, 1))
+
+    def dma(z_hbm, raw, sems, k, slot):
+        idx = jnp.clip(k, 0, nz - 1)
+        return pltpu.make_async_copy(z_hbm.at[idx], raw.at[slot],
+                                     sems.at[slot])
+
+    def kernel(z_hbm, out_ref, raw, sems):
+        z = pl.program_id(0)
+
+        @pl.when(z == 0)
+        def _():
+            raw[3] = jnp.zeros((nb, ny, nx), f32)
+            for k in range(3):
+                dma(z_hbm, raw, sems, k, k).start()
+            dma(z_hbm, raw, sems, 0, 0).wait()
+
+        @pl.when(jnp.logical_and(z > 0, z + 2 <= nz - 1))
+        def _():
+            dma(z_hbm, raw, sems, z + 2, (z + 2) % 4).start()
+
+        @pl.when(z + 1 <= nz - 1)
+        def _():
+            dma(z_hbm, raw, sems, z + 1, (z + 1) % 4).wait()
+
+        xi = jax.lax.broadcasted_iota(jnp.int32, (8, nx), 1)
+        mxm = (xi >= 1).astype(f32)
+        mxp = (xi <= nx - 2).astype(f32)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (8, nx), 0)
+        row0 = (yi >= 1).astype(f32)        # zero row 0 (missing y-1)
+        rowl = (yi <= 6).astype(f32)        # zero row 7 (missing y+1)
+        zm = jnp.where(z > 0, 1.0, 0.0).astype(f32)
+        zp = jnp.where(z < nz - 1, 1.0, 0.0).astype(f32)
+        cs, ps, ns_ = z % 4, (z - 1) % 4, (z + 1) % 4
+
+        for yb in range(nyb):
+            top = yb * 8
+            c_, xm_, xp_, ym_, yp_, pm_, pp_ = [], [], [], [], [], [], []
+            for b in range(nb):
+                c = raw[cs, b, top:top + 8]
+                c_.append(c)
+                xm_.append(None if Wxm is None else mxm
+                           * pltpu.roll(c, 1, 1))
+                xp_.append(None if Wxp is None else mxp
+                           * pltpu.roll(c, nx - 1, 1))
+                if Wym is not None:
+                    ym_.append(row0 * pltpu.roll(c, 1, 0) if yb == 0
+                               else raw[cs, b, top - 1:top + 7])
+                else:
+                    ym_.append(None)
+                if Wyp is not None:
+                    yp_.append(rowl * pltpu.roll(c, 7, 0) if yb == nyb - 1
+                               else raw[cs, b, top + 1:top + 9])
+                else:
+                    yp_.append(None)
+                pm_.append(None if Wzm is None else zm
+                           * raw[ps, b, top:top + 8])
+                pp_.append(None if Wzp is None else zp
+                           * raw[ns_, b, top:top + 8])
+
+            for a in range(nb):
+                acc = None
+                for Wt, segs in ((W0, c_), (Wxm, xm_), (Wxp, xp_),
+                                 (Wym, ym_), (Wyp, yp_), (Wzm, pm_),
+                                 (Wzp, pp_)):
+                    if Wt is None:
+                        continue
+                    for b in range(nb):
+                        w = float(Wt[a, b])
+                        if w == 0.0:
+                            continue
+                        term = w * segs[b]
+                        acc = term if acc is None else acc + term
+                out_ref[0, a, top:top + 8] = (
+                    jnp.zeros((8, nx), f32) if acc is None else acc)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, nb, ny, nx), lambda z: (z, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz, nb, ny, nx), f32),
+        scratch_shapes=[
+            pltpu.VMEM((4, nb, ny, nx), f32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
     dD = np.asarray(dD_sides, np.float32)
 
     def to_mm(zflat):
@@ -315,7 +467,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         return jnp.transpose(zmm, (0, 2, 3, 1)).reshape(-1).astype(dtype)
 
     def apply_mm(zmm):
-        out = call(Wcat, zmm.reshape(nz, nb, L)).reshape(nz, nb, ny, nx)
+        out = call(zmm)
         for side, xf in ((0, 0), (1, nx - 1)):
             corr = jnp.einsum("ab,zby->zay", jnp.asarray(dD[0, side]),
                               zmm[:, :, :, xf])
@@ -341,13 +493,16 @@ def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):
     """Lower a 3D BlockStencilOperator to the mode-major kernel. Returns
     (apply_flat, apply_mm, to_mm, from_mm) or None if it does not qualify
     (3D, face-neighbor taps only, aligned planes, ring fits VMEM).
-    mode='mxu' (default) uses the flat-plane matmul contraction;
-    mode='vpu' keeps the per-tap shift-FMA variant."""
+    mode='vreg' (default on TPU) runs the register-resident tile kernel;
+    'mxu' uses the flat-plane matmul contraction; 'vpu' the per-tap
+    shift-FMA variant."""
     cells = block_op.cells
     if len(cells) != 3:
         return None
     nx, ny, nz = int(cells[0]), int(cells[1]), int(cells[2])
     nb = block_op.nb
+    if mode == "vreg" and ny % 8 != 0:
+        return None          # vreg tiles are 8 y-rows even in interpret
     if not interpret and (nx % 128 != 0 or ny % 8 != 0):
         return None
     if not interpret and jax.config.jax_enable_x64:
@@ -362,6 +517,10 @@ def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):
     if not interpret and (2 * (bz + 2) + 2 * bz + 7) * nb * ny * nx * 4 \
             > 100 * 1024 * 1024:
         return None
+    if mode == "vreg":
+        return build_mm_vreg_apply(cells, nb, block_op.W_taps,
+                                   block_op.offsets, block_op.dD_sides,
+                                   interpret=interpret)
     build = build_mm_flat_apply if mode == "mxu" else build_mm_block_apply
     return build(cells, nb, block_op.W_taps, block_op.offsets,
                  block_op.dD_sides, interpret=interpret, bz=bz)

@@ -206,13 +206,15 @@ def test_block_ell_assembled_solve_matches_matrix_free():
     assert float(jnp.max(jnp.abs(out[True] - out[False]))) < 1e-8
 
 
-@pytest.mark.parametrize("mode", ["vpu", "mxu"])
+@pytest.mark.parametrize("mode", ["vpu", "mxu", "vreg"])
 def test_mm_block_stencil_interpret_parity(mode):
     """Mode-major Pallas lowering (interpret mode): fp32 parity with the
-    general apply for 3D Q1 DG, including all face corrections."""
+    general apply for 3D Q1 DG, including all face corrections.
+    (vreg requires ny % 8 == 0; 16 rows also exercises interior y-blocks.)"""
     from dune_pdelab_tpu.assembly.blockstencil_mm import try_mm_block_stencil
 
-    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (6, 5, 5))
+    cells = (6, 16, 5) if mode == "vreg" else (6, 5, 5)
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], cells)
     V = FunctionSpace(mesh, QkDGFEM(1, 3))
     go = GridOperator(V, ConvectionDiffusionDG(Diff()))
     st = compile_block_stencil(go)
