@@ -76,7 +76,11 @@ def run_big(cells=255, iters=20):
                          skip_boundary=True)
     N = V.ndofs
     log(f"big fp64 point: N={N}")
-    b = go.residual(jnp.zeros(N, jnp.float64))
+    # slab-chunked RHS assembly: fp64 doubles the (E, nqp, nb, dim)
+    # volume intermediates — one sweep at 16.6M elements exceeds HBM
+    from dune_pdelab_tpu.assembly.slabbed import residual_slabbed
+    b = residual_slabbed(V, ConvectionDiffusionFEM(p), cgm,
+                         jnp.zeros(N, jnp.float64), nslabs=16)
     assert b.dtype == jnp.float64, b.dtype
     st = compile_stencil(go)
     assert st is not None

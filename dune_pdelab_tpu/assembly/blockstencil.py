@@ -75,9 +75,13 @@ class BlockStencilOperator:
             ("NCHW", "OIHW", "NCHW") if dim == 2 else
             ("NCDHW", "OIDHW", "NCDHW") if dim == 3 else
             ("NCW", "OIW", "NCW"))
+        # precision=HIGHEST: TPU convs default to bf16 operands, and
+        # bf16-rounding the assembled weights is an O(1e-3) operator
+        # perturbation — fatal at SIPG condition numbers (a CG solve
+        # against the bf16 conv converged to a 60%-wrong solution)
         out_c = lax.conv_general_dilated(
             zc, K, window_strides=(1,) * dim, padding="SAME",
-            dimension_numbers=dn)
+            dimension_numbers=dn, precision=lax.Precision.HIGHEST)
         out = jnp.moveaxis(out_c[0], 0, -1)             # (*grid_rev, nb)
         # boundary corrections: one diagonal block per side, additive
         dD = jnp.asarray(self.dD_sides, z.dtype)
@@ -87,7 +91,7 @@ class BlockStencilOperator:
                 sl = [slice(None)] * (dim + 1)
                 sl[ax] = slice(0, 1) if side == 0 else slice(-1, None)
                 sl = tuple(sl)
-                corr = jnp.einsum("...b,ab->...a", zb[sl], dD[d, side])
+                corr = jnp.einsum("...b,ab->...a", zb[sl], dD[d, side], precision="highest")
                 out = out.at[sl].add(corr)
         return out.reshape(-1)
 
@@ -154,13 +158,17 @@ def compile_block_stencil(go, x_lin=None, time=0.0, check=True):
 
     def column_blocks(e_mi, rows):
         """Probe all nb columns of element e_mi; return {row_e: (nb, nb)}
-        with block[i, j] = J[(row_e, i), (e_mi, j)]."""
+        with block[i, j] = J[(row_e, i), (e_mi, j)]. Probing runs at full
+        f32 matmul precision: the TPU default is bf16 operands, and probe
+        error becomes OPERATOR error (measured 3.5e-3 relative on an
+        anisotropic mesh before this guard)."""
         blocks = {r: np.zeros((nb, nb)) for r in rows}
-        for j in range(nb):
-            e = jnp.zeros(space.ndofs).at[eidx(e_mi) * nb + j].set(1.0)
-            col = np.asarray(go.jacobian_apply(x_lin, e, time))
-            for r in rows:
-                blocks[r][:, j] = col[r * nb:(r + 1) * nb]
+        with jax.default_matmul_precision("highest"):
+            for j in range(nb):
+                e = jnp.zeros(space.ndofs).at[eidx(e_mi) * nb + j].set(1.0)
+                col = np.asarray(go.jacobian_apply(x_lin, e, time))
+                for r in rows:
+                    blocks[r][:, j] = col[r * nb:(r + 1) * nb]
         return blocks
 
     # interior probe: center element far from every boundary
@@ -238,7 +246,7 @@ class BlockEllMatrix:
             start = tuple(1 + int(off[d]) for d in reversed(range(dim)))
             piece = lax.dynamic_slice(gp, start + (0,),
                                       grid_rev + (self.nb,))
-            term = jnp.einsum("...ab,...b->...a", V[t], piece)
+            term = jnp.einsum("...ab,...b->...a", V[t], piece, precision="highest")
             out = term if out is None else out + term
         return out.reshape(-1)
 
@@ -289,7 +297,12 @@ def assemble_block_ell(go, x_lin=None, time=0.0):
     emi = np.stack(np.meshgrid(*[np.arange(n) % 3 for n in grid_rev],
                                indexing="ij"), axis=0)   # (dim, *grid_rev)
 
-    probe = jax.jit(lambda e: go.jacobian_apply(x_lin, e, time))
+    # full-f32 probing (TPU default matmul precision is bf16 operands;
+    # probe error becomes assembled-operator error)
+    @jax.jit
+    def probe(e):
+        with jax.default_matmul_precision("highest"):
+            return go.jacobian_apply(x_lin, e, time)
 
     values = np.zeros((ntaps,) + grid_rev + (nb, nb))
     for color in itertools.product(*[range(min(3, n)) for n in grid_rev]):

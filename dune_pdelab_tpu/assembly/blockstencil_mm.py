@@ -181,17 +181,17 @@ def build_mm_block_apply(cells, nb, W_taps, offsets, dD_sides,
         # x faces: zmm[:, :, :, xf] -> (nz, nb, ny); mode axis 1
         for side, xf in ((0, 0), (1, nx - 1)):
             corr = jnp.einsum("ab,zby->zay", jnp.asarray(dD[0, side]),
-                              zmm[:, :, :, xf])
+                              zmm[:, :, :, xf], precision="highest")
             out = out.at[:, :, :, xf].add(corr)
         # y faces: zmm[:, :, yf, :] -> (nz, nb, nx); mode axis 1
         for side, yf in ((0, 0), (1, ny - 1)):
             corr = jnp.einsum("ab,zbx->zax", jnp.asarray(dD[1, side]),
-                              zmm[:, :, yf, :])
+                              zmm[:, :, yf, :], precision="highest")
             out = out.at[:, :, yf, :].add(corr)
         # z faces: zmm[zf] -> (nb, ny, nx); mode axis 0
         for side, zf in ((0, 0), (1, nz - 1)):
             corr = jnp.einsum("ab,byx->ayx", jnp.asarray(dD[2, side]),
-                              zmm[zf])
+                              zmm[zf], precision="highest")
             out = out.at[zf].add(corr)
         return out
 
@@ -297,9 +297,13 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         ]
         scat = jnp.concatenate(segs, axis=1)       # (bz, 13*nb, L)
         for j in range(bz):
+            # precision=HIGHEST: MXU dots default to bf16 operands even
+            # inside Pallas — bf16-rounded weights are an O(1e-3)
+            # operator perturbation (fatal at SIPG condition numbers)
             out_ref[j] = jax.lax.dot_general(
                 wc, scat[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
 
     call = pl.pallas_call(
         kernel,
@@ -470,15 +474,15 @@ def build_mm_vreg_apply(cells, nb, W_taps, offsets, dD_sides,
         out = call(zmm)
         for side, xf in ((0, 0), (1, nx - 1)):
             corr = jnp.einsum("ab,zby->zay", jnp.asarray(dD[0, side]),
-                              zmm[:, :, :, xf])
+                              zmm[:, :, :, xf], precision="highest")
             out = out.at[:, :, :, xf].add(corr)
         for side, yf in ((0, 0), (1, ny - 1)):
             corr = jnp.einsum("ab,zbx->zax", jnp.asarray(dD[1, side]),
-                              zmm[:, :, yf, :])
+                              zmm[:, :, yf, :], precision="highest")
             out = out.at[:, :, yf, :].add(corr)
         for side, zf in ((0, 0), (1, nz - 1)):
             corr = jnp.einsum("ab,byx->ayx", jnp.asarray(dD[2, side]),
-                              zmm[zf])
+                              zmm[zf], precision="highest")
             out = out.at[zf].add(corr)
         return out
 
@@ -487,6 +491,21 @@ def build_mm_vreg_apply(cells, nb, W_taps, offsets, dD_sides,
         return from_mm(apply_mm(to_mm(zflat)), zflat.dtype)
 
     return apply_flat, jax.jit(apply_mm), to_mm, from_mm
+
+
+class MMBlockStencil:
+    """Solver-facing wrapper of a mode-major lowering: callable on flat
+    element-major vectors (includes the to/from transposes), and exposes
+    `apply_mm`/`to_mm`/`from_mm` so Krylov loops can run ENTIRELY in the
+    mode-major layout (one transpose at solve entry/exit instead of two
+    per iteration — the transposes cost ~6 ms at 16.8M DOFs, the
+    mm-resident apply 7 ms)."""
+
+    def __init__(self, lowered):
+        self.apply_flat, self.apply_mm, self.to_mm, self.from_mm = lowered
+
+    def __call__(self, z):
+        return self.apply_flat(z)
 
 
 def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):

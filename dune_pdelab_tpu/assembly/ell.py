@@ -120,7 +120,9 @@ def assemble_ell(go, x_lin=None, time=0.0):
 
     @jax.jit
     def probe(e):
-        return go.jacobian_apply(x_lin, e, time)
+        # full-f32 probing (TPU default matmul precision is bf16 operands)
+        with jax.default_matmul_precision("highest"):
+            return go.jacobian_apply(x_lin, e, time)
 
     values = np.zeros((ntaps,) + grid_shape)
     for color in itertools.product(*[range(min(P, n))
@@ -194,7 +196,9 @@ def assemble_ell_device(go, x_lin=None, time=0.0):
         for a in range(1, dim):
             m = jnp.logical_and(m, rg[a] == cls_arr[a])
         e = m.astype(dtype).reshape(-1)
-        return go.jacobian_apply(x_lin, e, time)
+        # full-f32 probing (TPU default matmul precision is bf16 operands)
+        with jax.default_matmul_precision("highest"):
+            return go.jacobian_apply(x_lin, e, time)
 
     C = jnp.stack([probe_cls(jnp.asarray(cls, jnp.int32)).reshape(grid_shape)
                    for cls in classes])

@@ -177,12 +177,26 @@ class GridOperator:
         self._dev_cache = {}
 
         # persistent jitted entry points (trace once per shape/dtype; the
-        # FastDG lesson — gather/trace overhead dominates — applied to jit)
-        self._residual_jit = jax.jit(self._residual_with_mask)
-        self._japply_jit = jax.jit(self._japply_impl)
-        self._ejac_jit = jax.jit(self._element_jacobians_impl)
-        self._ediag_jit = jax.jit(self._element_diagonal_blocks_impl)
-        self._jdiag_jit = jax.jit(self._jacobian_diagonal_impl)
+        # FastDG lesson — gather/trace overhead dominates — applied to jit).
+        # Assembly runs at FULL f32 matmul precision: TPU's default matmul
+        # precision is bf16 operands, and bf16 noise in the quadrature
+        # contractions is a silent accuracy killer (measured: an SIPG
+        # solve whose RHS was assembled at default precision came out
+        # 350x above the fp64 discretization floor; CPU f32 — true f32
+        # matmuls — hits the floor). Correctness-first default; the hot
+        # SpMV paths (compiled stencils / Pallas kernels) are exact f32
+        # arithmetic and unaffected.
+        def _precise(fn):
+            def wrapped(*args):
+                with jax.default_matmul_precision("highest"):
+                    return fn(*args)
+            return jax.jit(wrapped)
+
+        self._residual_jit = _precise(self._residual_with_mask)
+        self._japply_jit = _precise(self._japply_impl)
+        self._ejac_jit = _precise(self._element_jacobians_impl)
+        self._ediag_jit = _precise(self._element_diagonal_blocks_impl)
+        self._jdiag_jit = _precise(self._jacobian_diagonal_impl)
 
     # ------------------------------------------------------------------
     # lazy index-array members

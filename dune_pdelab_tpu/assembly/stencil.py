@@ -177,7 +177,10 @@ def compile_stencil(go, x_lin=None, time=0.0, check=True):
         probes.append(j)
     for j in probes:
         e = jnp.zeros(space.ndofs).at[flat(j)].set(1.0)
-        col = np.asarray(go.jacobian_apply(x_lin, e, time))
+        # full-f32 probing: TPU default matmul precision is bf16 operands,
+        # and probe error becomes stencil-weight error
+        with jax.default_matmul_precision("highest"):
+            col = np.asarray(go.jacobian_apply(x_lin, e, time))
         # rows in neighborhood of j
         for off in itertools.product(*[range(-k, k + 1)] * dim):
             i = j + np.array(off)
@@ -192,7 +195,8 @@ def compile_stencil(go, x_lin=None, time=0.0, check=True):
         # translation invariance: repeat one probe shifted by one element
         j2 = probes[0] + k * np.ones(dim, dtype=np.int64)
         e = jnp.zeros(space.ndofs).at[flat(j2)].set(1.0)
-        col2 = np.asarray(go.jacobian_apply(x_lin, e, time))
+        with jax.default_matmul_precision("highest"):
+            col2 = np.asarray(go.jacobian_apply(x_lin, e, time))
         for off in itertools.product(*[range(-k, k + 1)] * dim):
             i = j2 + np.array(off)
             ci = tuple(int(i[d]) % k if k > 1 else 0 for d in range(dim))

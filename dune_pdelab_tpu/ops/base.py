@@ -155,7 +155,7 @@ class LocalOperator:
     @staticmethod
     def value_at_qp(tab: LeafTab, u):
         """u_h at quadrature points: (E, nloc) -> (E, nqp)."""
-        return jnp.einsum("qb,eb->eq", tab.phi, u)
+        return jnp.einsum("qb,eb->eq", tab.phi, u, precision="highest")
 
     @staticmethod
     def gradient_at_qp(tab: LeafTab, u):
@@ -165,21 +165,21 @@ class LocalOperator:
         case contracts through a single shared (nqp*dim, nb) matmul (MXU).
         """
         if tab.grad.shape[0] == 1:
-            return jnp.einsum("qbd,eb->eqd", tab.grad[0], u)
-        return jnp.einsum("eqbd,eb->eqd", tab.grad, u)
+            return jnp.einsum("qbd,eb->eqd", tab.grad[0], u, precision="highest")
+        return jnp.einsum("eqbd,eb->eqd", tab.grad, u, precision="highest")
 
     @staticmethod
     def accumulate_value(tab: LeafTab, factor, w):
         """sum_q w(E,nqp) * phi_i * factor -> (E, nloc)."""
-        return jnp.einsum("qb,eq->eb", tab.phi, w * factor)
+        return jnp.einsum("qb,eq->eb", tab.phi, w * factor, precision="highest")
 
     @staticmethod
     def accumulate_gradient(tab: LeafTab, factor, wvec):
         """sum_q (wvec(E,nqp,dim) . grad phi_i) * factor -> (E, nloc)."""
         wv = wvec * factor[..., None]
         if tab.grad.shape[0] == 1:
-            return jnp.einsum("qbd,eqd->eb", tab.grad[0], wv)
-        return jnp.einsum("eqbd,eqd->eb", tab.grad, wv)
+            return jnp.einsum("qbd,eqd->eb", tab.grad[0], wv, precision="highest")
+        return jnp.einsum("eqbd,eqd->eb", tab.grad, wv, precision="highest")
 
     # -- H(div) vector-element helpers ---------------------------------------
     # vec_phi/div may carry a leading element axis (affine simplex Piola):
@@ -188,30 +188,30 @@ class LocalOperator:
     def hdiv_value_at_qp(tab: LeafTab, u):
         """vector value of an H(div) field: (E, nloc) -> (E, nqp, dim)."""
         if tab.vec_phi.ndim == 4:
-            return jnp.einsum("eqbd,eb->eqd", tab.vec_phi, u)
-        return jnp.einsum("qbd,eb->eqd", tab.vec_phi, u)
+            return jnp.einsum("eqbd,eb->eqd", tab.vec_phi, u, precision="highest")
+        return jnp.einsum("qbd,eb->eqd", tab.vec_phi, u, precision="highest")
 
     @staticmethod
     def div_at_qp(tab: LeafTab, u):
         """divergence of an H(div) field: (E, nloc) -> (E, nqp)."""
         if tab.div.ndim == 3:
-            return jnp.einsum("eqb,eb->eq", tab.div, u)
-        return jnp.einsum("qb,eb->eq", tab.div, u)
+            return jnp.einsum("eqb,eb->eq", tab.div, u, precision="highest")
+        return jnp.einsum("qb,eb->eq", tab.div, u, precision="highest")
 
     @staticmethod
     def accumulate_hdiv(tab: LeafTab, factor, wvec):
         """sum_q wvec(E,nqp,dim) . phi_i * factor -> (E, nloc)."""
         wv = wvec * factor[..., None]
         if tab.vec_phi.ndim == 4:
-            return jnp.einsum("eqbd,eqd->eb", tab.vec_phi, wv)
-        return jnp.einsum("qbd,eqd->eb", tab.vec_phi, wv)
+            return jnp.einsum("eqbd,eqd->eb", tab.vec_phi, wv, precision="highest")
+        return jnp.einsum("qbd,eqd->eb", tab.vec_phi, wv, precision="highest")
 
     @staticmethod
     def accumulate_div(tab: LeafTab, factor, w):
         """sum_q w(E,nqp) * div phi_i * factor -> (E, nloc)."""
         if tab.div.ndim == 3:
-            return jnp.einsum("eqb,eq->eb", tab.div, w * factor)
-        return jnp.einsum("qb,eq->eb", tab.div, w * factor)
+            return jnp.einsum("eqb,eq->eb", tab.div, w * factor, precision="highest")
+        return jnp.einsum("qb,eq->eb", tab.div, w * factor, precision="highest")
 
     # -- H(curl) edge-element helpers ---------------------------------------
     # batched (affine-simplex) tabs carry a leading element axis; detect via
@@ -221,23 +221,23 @@ class LocalOperator:
         """curl of an H(curl) field: (E,nqp) in 2D, (E,nqp,3) in 3D."""
         if tab.vec_phi is not None and tab.vec_phi.ndim == 4:
             if tab.curl.ndim == 3:
-                return jnp.einsum("eqb,eb->eq", tab.curl, u)
-            return jnp.einsum("eqbd,eb->eqd", tab.curl, u)
+                return jnp.einsum("eqb,eb->eq", tab.curl, u, precision="highest")
+            return jnp.einsum("eqbd,eb->eqd", tab.curl, u, precision="highest")
         if tab.curl.ndim == 2:
-            return jnp.einsum("qb,eb->eq", tab.curl, u)
-        return jnp.einsum("qbd,eb->eqd", tab.curl, u)
+            return jnp.einsum("qb,eb->eq", tab.curl, u, precision="highest")
+        return jnp.einsum("qbd,eb->eqd", tab.curl, u, precision="highest")
 
     @staticmethod
     def accumulate_curl(tab: LeafTab, factor, w):
         """Dual of curl_at_qp: weight w (E,nqp[,3]) -> (E, nloc)."""
         if tab.vec_phi is not None and tab.vec_phi.ndim == 4:
             if tab.curl.ndim == 3:
-                return jnp.einsum("eqb,eq->eb", tab.curl, w * factor)
+                return jnp.einsum("eqb,eq->eb", tab.curl, w * factor, precision="highest")
             return jnp.einsum("eqbd,eqd->eb", tab.curl,
-                              w * factor[..., None])
+                              w * factor[..., None], precision="highest")
         if tab.curl.ndim == 2:
-            return jnp.einsum("qb,eq->eb", tab.curl, w * factor)
-        return jnp.einsum("qbd,eqd->eb", tab.curl, w * factor[..., None])
+            return jnp.einsum("qb,eq->eb", tab.curl, w * factor, precision="highest")
+        return jnp.einsum("qbd,eqd->eb", tab.curl, w * factor[..., None], precision="highest")
 
 
 class CombinedOperator(LocalOperator):

@@ -78,14 +78,27 @@ class LinearSolverBackend:
                 if st is not None:
                     import jax
                     if jax.default_backend() not in ("cpu",):
+                        # prefer the mode-major MXU kernel (2.4 Gdof/s
+                        # mm-resident, exact) over the lane-roll lowering
+                        # (1.2 Gdof/s); solves run mm-resident when the
+                        # preconditioner is layout-agnostic
                         try:
-                            from dune_pdelab_tpu.assembly.\
-blockstencil_pallas import try_pallas_block_stencil
-                            pk = try_pallas_block_stencil(st)
-                            if pk is not None:
-                                st = pk
+                            from dune_pdelab_tpu.assembly.blockstencil_mm \
+                                import try_mm_block_stencil, MMBlockStencil
+                            mm = try_mm_block_stencil(st, mode="mxu")
                         except Exception:
-                            pass
+                            mm = None
+                        if mm is not None:
+                            st = MMBlockStencil(mm)
+                        else:
+                            try:
+                                from dune_pdelab_tpu.assembly.\
+blockstencil_pallas import try_pallas_block_stencil
+                                pk = try_pallas_block_stencil(st)
+                                if pk is not None:
+                                    st = pk
+                            except Exception:
+                                pass
             if st is not None:
                 # prefer the Pallas tiled lowering (single HBM pass per
                 # apply) on real TPU devices when the grid qualifies
@@ -191,6 +204,20 @@ blockstencil_pallas import try_pallas_block_stencil
                 A = lambda z: mat @ z
                 M = self._make_M(setup, A)
                 return fn_solver(A, b, x0=x0, M=M, tol=tol, **kw)
+        elif assembled == "stencil_mm":
+            st = go  # an MMBlockStencil: iterate in mode-major layout
+            def fn(b, setup, tol, x0):
+                bm, x0m = st.to_mm(b), st.to_mm(x0)
+                # to_mm is a permutation, so elementwise preconditioner
+                # data transforms the same way as the residual
+                setup_mm = {k: (st.to_mm(v)
+                                if k == "diag" and v.shape == b.shape
+                                else v)
+                            for k, v in setup.items()}
+                M = self._make_M(setup_mm, st.apply_mm)
+                zm, stats = fn_solver(st.apply_mm, bm, x0=x0m, M=M,
+                                      tol=tol, **kw)
+                return st.from_mm(zm, b.dtype), stats
         elif assembled == "stencil":
             st = go  # second arg doubles as the stencil operator
             def fn(b, setup, tol, x0):
@@ -271,9 +298,15 @@ blockstencil_pallas import try_pallas_block_stencil
         elif (self.use_stencil and getattr(go.lop, "is_linear", False)
               and self._stencil_for(go, x_lin, time) is not None):
             st = self._stencil_for(go, x_lin, time)
-            key = (id(go), "st", b.dtype, b.shape)
+            from dune_pdelab_tpu.assembly.blockstencil_mm import (
+                MMBlockStencil,
+            )
+            mm_ok = (isinstance(st, MMBlockStencil) and self.precond in
+                     (None, "none", "richardson", "jacobi", "chebyshev"))
+            key = (id(go), "st_mm" if mm_ok else "st", b.dtype, b.shape)
             if key not in self._solve_cache:
-                self._solve_cache[key] = self._build_solve(st, assembled="stencil")
+                self._solve_cache[key] = self._build_solve(
+                    st, assembled="stencil_mm" if mm_ok else "stencil")
             setup = self._precond_setup(go, x_lin, time, reuse)
             z, stats = self._solve_cache[key](b, setup, reduction, x0)
         else:

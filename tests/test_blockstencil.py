@@ -252,3 +252,34 @@ def test_mm_block_stencil_zblock_ring():
         y2 = np.asarray(lowered[0](z))
         rel = np.abs(y1 - y2).max() / max(1.0, np.abs(y1).max())
         assert rel < 1e-5, (mode, rel)
+
+
+def test_mm_resident_solver_path():
+    """LinearSolverBackend 'stencil_mm' branch: CG iterates in mode-major
+    layout (diag transformed with the residual); iterations and solution
+    match the flat-operator solve exactly."""
+    from dune_pdelab_tpu.assembly.blockstencil_mm import (
+        try_mm_block_stencil, MMBlockStencil,
+    )
+    from dune_pdelab_tpu.solvers.linear import LinearSolverBackend
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (6, 16, 5))
+    V = FunctionSpace(mesh, QkDGFEM(1, 3))
+    go = GridOperator(V, ConvectionDiffusionDG(Diff()))
+    st = compile_block_stencil(go)
+    st_mm = MMBlockStencil(try_mm_block_stencil(st, interpret=True,
+                                                mode="mxu"))
+    ls = LinearSolverBackend(solver="cg", precond="jacobi")
+    # fp32 throughout: the mm kernels are fp32 lowerings, so the flat
+    # comparison runs through the SAME lowering (apply_flat) in fp32
+    b = go.residual(V.zero()).astype(jnp.float32)
+    x0 = jnp.zeros_like(b)
+    setup = {"diag": go.jacobian_diagonal(V.zero()).astype(jnp.float32)}
+    fn_mm = ls._build_solve(st_mm, assembled="stencil_mm")
+    z1, s1 = fn_mm(b, setup, 1e-10, x0)
+    fn_flat = ls._build_solve(st_mm, assembled="stencil")
+    z2, s2 = fn_flat(b, setup, 1e-10, x0)
+    assert int(s1.iterations) == int(s2.iterations), (
+        int(s1.iterations), int(s2.iterations))
+    rel = float(jnp.linalg.norm(z1 - z2) / jnp.linalg.norm(z2))
+    assert rel < 1e-4, rel
