@@ -136,6 +136,7 @@ class WindowShardedGridOperator:
             Eb = -(-E // ndev)
             element_owner = np.minimum(np.arange(E) // Eb, ndev - 1)
         eo = np.asarray(element_owner, np.int64)
+        self.element_owner = eo   # public: pairs with ParallelVTKWriter
 
         leaf_maps = [np.asarray(m, np.int64) for m in go._leaf_maps()]
 
