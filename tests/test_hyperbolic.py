@@ -181,3 +181,34 @@ def test_acoustics_heterogeneous_speed():
     xpk = float(coords[sel][np.argmax(pv[sel]), 0])
     assert abs(xpk - 1.6) < 0.12, xpk
     assert abs(pv[sel].max() - 0.5) < 0.05, pv[sel].max()
+
+
+def test_acoustics_3d_standing_wave():
+    """3D reflective box, 1D standing mode along z (exercises the
+    dim-generic flux and the z-direction face groups in 3D; reference
+    linearacousticsdg.hh is dim-templated the same way)."""
+    c = 1.0
+    n, k = 8, 1
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
+    leaf = FunctionSpace(mesh, QkDGFEM(k, 3))
+    Q = PowerSpace(leaf, 4)   # (p, u1, u2, u3)
+    go0 = GridOperator(Q, LinearAcousticsDG(c=c, bc="reflect"))
+    go1 = GridOperator(Q, L2())
+    osm = ExplicitOneStepMethod(shu3(), go0, go1)
+    zero = lambda p: np.zeros(len(p))
+    x = Q.interpolate((lambda p: np.cos(np.pi * p[:, 2]),
+                       zero, zero, zero))
+    T = 0.25
+    dt = 0.4 / (c * n * (2 * k + 1))
+    t, x = osm.solve(0.0, dt, T, x)
+    perr = float(l2_difference(
+        leaf, Q.restrict(x, 0),
+        lambda p: np.cos(np.pi * p[:, 2]) * np.cos(np.pi * c * t)))
+    uerr = float(l2_difference(
+        leaf, Q.restrict(x, 3),
+        lambda p: np.sin(np.pi * p[:, 2]) * np.sin(np.pi * c * t)))
+    assert perr < 0.05, perr
+    assert uerr < 0.05, uerr
+    # transverse velocities stay numerically zero
+    for comp in (1, 2):
+        assert float(jnp.max(jnp.abs(Q.restrict(x, comp)))) < 1e-10
