@@ -46,15 +46,24 @@ class NavierStokesParameters:
 
 
 class TaylorHoodNavierStokes(LocalOperator):
-    """Velocity-pressure kernel; u = (v_0, ..., v_{d-1}, p) leaf tuple."""
+    """Velocity-pressure kernel; u = (v_0, ..., v_{d-1}, p) leaf tuple.
+
+    tensor_form=True uses the full (symmetric-gradient) stress
+    mu (grad v + grad v^T) : grad phi instead of the gradient form
+    mu grad v : grad phi — the reference's `full_tensor` switch
+    (taylorhoodnavierstokes.hh:52 template flag). For div-free exact
+    solutions both discretize the same PDE; the discrete operators (and
+    natural outflow conditions) differ."""
 
     quadrature_factor = 2
     quadrature_add = 1
 
-    def __init__(self, params: NavierStokesParameters, navier: bool | None = None):
+    def __init__(self, params: NavierStokesParameters,
+                 navier: bool | None = None, tensor_form: bool = False):
         self.params = params
         self.navier = navier if navier is not None else (params.rho != 0.0)
         self.is_linear = not self.navier
+        self.tensor_form = tensor_form
 
     def set_time(self, t):
         new = copy.copy(self)
@@ -75,6 +84,10 @@ class TaylorHoodNavierStokes(LocalOperator):
         r = []
         for c in range(dim):
             wvec = mu * gv[c]
+            if self.tensor_form:
+                # + mu (grad v)^T : row c is mu * d(v_d)/dx_c per column d
+                wvec = wvec + mu * jnp.stack(
+                    [gv[d][..., c] for d in range(dim)], axis=-1)
             wvec = wvec.at[..., c].add(-pq)          # -p * d(phi_c)/dx_c
             rc = self.accumulate_gradient(tab_v, ctx.factor, wvec)
             if self.navier:

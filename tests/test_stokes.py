@@ -145,3 +145,44 @@ def test_navier_stokes_cavity_newton():
     # center velocity magnitude is nonzero and bounded
     xc = W.children[0].restrict(W.restrict(x, 0), 0)
     assert 0.0 < float(jnp.max(jnp.abs(xc))) <= 1.01
+
+
+def test_stokes_tensor_form():
+    """Full stress-tensor form mu (grad v + grad v^T) (the reference's
+    full_tensor switch): same manufactured div-free solution (for div-free
+    u, -div(mu(grad u + grad u^T)) = -mu lap u, so the same f applies);
+    Q2 velocity error stays at the gradient-form level and the velocity
+    block remains symmetric (CG-solvable after pinning)."""
+    from dune_pdelab_tpu import StructuredMesh
+    mesh = StructuredMesh([0, 0], [1, 1], (8, 8))
+    W = taylor_hood_space(mesh, degree=2)
+    prm = ManufacturedStokes()
+    cg_ = stokes_constraints(W, bctype=True, pin_pressure=True)
+    lop = TaylorHoodNavierStokes(prm, tensor_form=True)
+    go = GridOperator(W, lop, constraints=cg_)
+    ls = LinearSolverBackend(solver="gmres", precond=StokesBlockJacobi(W),
+                             restart=100, maxiter=20000)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-9, verbose=0)
+    x0 = W.zero()
+    p0 = float(p_exact(W.children[1].dof_coords()[:1])[0])
+    idx_pin = int(W.child_global(1, np.array([0]))[0])
+    x0 = x0.at[idx_pin].set(p0)
+    x = slp.apply(x0)
+    assert slp.result.converged
+    err_t = _velocity_error(W, x)
+    W2, x2, _ = _solve_stokes(8)
+    err_g = _velocity_error(W2, x2)
+    assert err_t < 2.0 * err_g + 1e-12, (err_t, err_g)
+    # operator symmetry in the velocity block: <J z, w> == <z, J w> for
+    # velocity-only test vectors (the symmetric gradient keeps symmetry)
+    rng = np.random.default_rng(0)
+    nv = W.children[0].ndofs
+    z = jnp.asarray(np.concatenate([rng.standard_normal(nv),
+                                    np.zeros(W.ndofs - nv)]))
+    w = jnp.asarray(np.concatenate([rng.standard_normal(nv),
+                                    np.zeros(W.ndofs - nv)]))
+    Jz = go.jacobian_apply(W.zero(), z)
+    Jw = go.jacobian_apply(W.zero(), w)
+    a = float(jnp.vdot(w, Jz))
+    b = float(jnp.vdot(z, Jw))
+    assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
