@@ -30,12 +30,16 @@ class DGNavierStokes(LocalOperator):
     quadrature_add = 1
 
     def __init__(self, params: NavierStokesParameters, penalty: float = 4.0,
-                 theta: float = 1.0, navier: bool | None = None):
+                 theta: float = 1.0, navier: bool | None = None,
+                 tensor_form: bool = False):
         self.params = params
         self.penalty = penalty
         self.theta = theta
         self.navier = navier if navier is not None else (params.rho != 0.0)
         self.is_linear = not self.navier
+        # full stress sigma = mu (grad u + grad u^T) instead of mu grad u
+        # (the reference's full_tensor switch, dgnavierstokes.hh)
+        self.tensor_form = tensor_form
 
     def set_time(self, t):
         new = copy.copy(self)
@@ -53,6 +57,9 @@ class DGNavierStokes(LocalOperator):
         r = []
         for c in range(dim):
             wvec = mu * gv[c]
+            if self.tensor_form:
+                wvec = wvec + mu * jnp.stack(
+                    [gv[d][..., c] for d in range(dim)], axis=-1)
             wvec = wvec.at[..., c].add(-pq)
             rc = self.accumulate_gradient(tab_v, ctx.factor, wvec)
             if self.navier:
@@ -104,20 +111,35 @@ class DGNavierStokes(LocalOperator):
         if self.navier:
             # upwind convection by the mean normal velocity
             ubar_n = 0.5 * sum((vi[c] + vo[c]) * n[c] for c in range(dim))
+        jumps = [vi[c] - vo[c] for c in range(dim)]
         for c in range(dim):
-            jump = vi[c] - vo[c]
+            jump = jumps[c]
             avg_ngrad = 0.5 * (jnp.einsum("fqd,d->fq", gi[c], n)
                                + jnp.einsum("fqd,d->fq", go_[c], n))
+            if self.tensor_form:
+                # + {(grad u)^T n}_c = 0.5 sum_d n_d (d_c u_d)|_i,o
+                avg_ngrad = avg_ngrad + 0.5 * sum(
+                    n[d] * (gi[d][..., c] + go_[d][..., c])
+                    for d in range(dim))
             w = -mu * avg_ngrad + gamma * jump + pavg * n[c]
             if self.navier:
                 upw = jnp.where(ubar_n >= 0, vi[c], vo[c])
                 w = w + rho * ubar_n * upw
             ri = acc_i(tin_v, w)
             ro = acc_o(tout_v, -w)
-            # symmetry term -theta mu {grad v}.n [u]
-            wsym = -self.theta * mu * 0.5 * jump * ctx.factor
-            ri = ri + jnp.einsum("qb,eq->eb", ndphi_i, wsym)
-            ro = ro + jnp.einsum("qb,eq->eb", ndphi_o, wsym)
+            if self.tensor_form:
+                # adjoint term -theta [u].{sigma(phi) n}: gradient-axis
+                # weight W_c[..., e] = -theta mu 0.5 (n_e [u_c] + n_c [u_e])
+                W = jnp.stack([-self.theta * mu * 0.5
+                               * (n[e] * jump + n[c] * jumps[e])
+                               for e in range(dim)], axis=-1)
+                ri = ri + self.accumulate_gradient(tin_v, ctx.factor, W)
+                ro = ro + self.accumulate_gradient(tout_v, ctx.factor, W)
+            else:
+                # symmetry term -theta mu {grad v}.n [u]
+                wsym = -self.theta * mu * 0.5 * jump * ctx.factor
+                ri = ri + jnp.einsum("qb,eq->eb", ndphi_i, wsym)
+                ro = ro + jnp.einsum("qb,eq->eb", ndphi_o, wsym)
             r_in.append(ri)
             r_out.append(ro)
         # continuity coupling: b(u, q) face part +∫ {q} [u·n] (the pairing
@@ -144,12 +166,20 @@ class DGNavierStokes(LocalOperator):
         r = []
         for c in range(dim):
             ngrad = jnp.einsum("fqd,d->fq", gi[c], n)
+            if self.tensor_form:
+                ngrad = ngrad + sum(n[d] * gi[d][..., c] for d in range(dim))
             w = -mu * ngrad + gamma * vi[c] + pq * n[c]
             if self.navier:
                 w = w + rho * jnp.where(un >= 0, un * vi[c], 0.0)
             rc = acc(tab_v, w)
-            rc = rc + jnp.einsum("qb,eq->eb", ndphi,
-                                 -self.theta * mu * vi[c] * ctx.factor)
+            if self.tensor_form:
+                W = jnp.stack([-self.theta * mu
+                               * (n[e] * vi[c] + n[c] * vi[e])
+                               for e in range(dim)], axis=-1)
+                rc = rc + self.accumulate_gradient(tab_v, ctx.factor, W)
+            else:
+                rc = rc + jnp.einsum("qb,eq->eb", ndphi,
+                                     -self.theta * mu * vi[c] * ctx.factor)
             r.append(rc)
         r.append(acc(tab_p, un))
         return tuple(r)
@@ -173,8 +203,14 @@ class DGNavierStokes(LocalOperator):
                 un_in = gn  # inflow data
                 w = w + rho * jnp.where(un_in < 0, un_in * g[..., c], 0.0)
             rc = acc(tab_v, w)
-            rc = rc + jnp.einsum("qb,eq->eb", ndphi,
-                                 self.theta * mu * g[..., c] * ctx.factor)
+            if self.tensor_form:
+                W = jnp.stack([self.theta * mu
+                               * (n[e] * g[..., c] + n[c] * g[..., e])
+                               for e in range(dim)], axis=-1)
+                rc = rc + self.accumulate_gradient(tab_v, ctx.factor, W)
+            else:
+                rc = rc + jnp.einsum("qb,eq->eb", ndphi,
+                                     self.theta * mu * g[..., c] * ctx.factor)
             r.append(rc)
         r.append(acc(tab_p, -gn))
         return tuple(r)

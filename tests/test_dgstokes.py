@@ -69,3 +69,43 @@ def test_dg_stokes_divergence_small():
         div2 = div2 + gu[..., c]
     val = float(jnp.sqrt(jnp.sum(factor * div2**2)))
     assert val < 0.05, val
+
+
+def test_dg_stokes_tensor_form_converges():
+    """Full stress-tensor SIPG (the reference's full_tensor switch): same
+    manufactured div-free solution, optimal Q2 velocity order, and the
+    symmetric-gradient operator stays adjoint-consistent (order would drop
+    to ~2 if the tensor adjoint terms were wrong)."""
+    errs = []
+    for n in (4, 8):
+        mesh = StructuredMesh([0, 0], [1, 1], (n, n))
+        W = _dg_stokes_space(mesh)
+        go = GridOperator(W, DGNavierStokes(ManufacturedStokes(),
+                                            tensor_form=True),
+                          constraints=_pin_pressure(W))
+        ls = LinearSolverBackend(solver="gmres", precond="block_jacobi",
+                                 restart=150, maxiter=40000)
+        slp = StationaryLinearProblemSolver(go, ls, reduction=1e-9,
+                                            verbose=0)
+        x = slp.apply(W.zero())
+        assert slp.result.converged, slp.result.__dict__
+        Vv = W.children[0].children[0]
+        e2 = 0.0
+        for c in range(2):
+            xc = W.children[0].restrict(W.restrict(x, 0), c)
+            e2 += float(l2_difference(Vv, xc,
+                                      lambda p, c=c: u_exact(p)[:, c])) ** 2
+        errs.append(np.sqrt(e2))
+    order = np.log2(errs[0] / errs[1])
+    assert order > 2.7, (errs, order)
+    # the velocity block of the symmetrized (theta=1) operator must be
+    # symmetric: <J z, w> == <z, J w> on velocity-only vectors
+    rng = np.random.default_rng(0)
+    nv = W.children[0].ndofs
+    z = jnp.asarray(np.concatenate([rng.standard_normal(nv),
+                                    np.zeros(W.ndofs - nv)]))
+    w = jnp.asarray(np.concatenate([rng.standard_normal(nv),
+                                    np.zeros(W.ndofs - nv)]))
+    a = float(jnp.vdot(w, go.jacobian_apply(W.zero(), z)))
+    b = float(jnp.vdot(z, go.jacobian_apply(W.zero(), w)))
+    assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
