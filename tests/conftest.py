@@ -51,6 +51,7 @@ _SLOW_OVERRIDES = (
     "test_onestep_time_dependent_dirichlet",  # 23s
     "test_pallas_block_stencil_interpret_parity",          # 20s
     "test_mm_block_stencil_zblock_ring",      # 31s
+    "test_mm_resident_solver_path",           # 14s
     "test_ilu1_beats_ilu0_iterations",        # 14s
     "test_ilun_backend_solves_poisson",       # 12s
     "test_geneo_lattice_ilu_production_path",  # 14s
