@@ -22,3 +22,11 @@ from dune_pdelab_tpu.ops.twophase import (
     TwoPhaseParameters, TwoPhaseCCFV, TwoPhaseStorage,
 )
 from dune_pdelab_tpu.ops.dgnavierstokes import DGNavierStokes
+from dune_pdelab_tpu.ops.darcy import (
+    DarcyVelocityFromHeadFEM, DarcyVelocityFromHeadCCFV,
+    darcy_velocity_at_quadrature, permeability_field,
+    diagonal_permeability_field,
+)
+from dune_pdelab_tpu.ops.nonlinearconvectiondiffusion import (
+    NonlinearConvectionDiffusionProblem, NonlinearConvectionDiffusionFEM,
+)
