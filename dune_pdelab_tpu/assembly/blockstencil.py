@@ -131,8 +131,14 @@ def compile_block_stencil(go, x_lin=None, time=0.0, check=True):
         return None
 
     # huge meshes: probe a proxy mesh with the same spacing (translation
-    # invariance makes the blocks identical; see stencil.py)
-    if mesh.nelements > 200_000 and x_lin is None:
+    # invariance makes the blocks identical; see stencil.py). Requires
+    # spatially constant Jacobian coefficients — the proxy only sees a
+    # corner patch of the domain.
+    from dune_pdelab_tpu.assembly.stencil import (
+        _coefficients_spatially_constant, _global_stencil_parity,
+    )
+    if (mesh.nelements > 200_000 and x_lin is None
+            and _coefficients_spatially_constant(go.lop, mesh)):
         from dune_pdelab_tpu.assembly.gridoperator import GridOperator
         from dune_pdelab_tpu.space.space import FunctionSpace
         pc = (6,) * dim
@@ -207,7 +213,13 @@ def compile_block_stencil(go, x_lin=None, time=0.0, check=True):
         if not np.allclose(bc[eidx(corner)], expect, atol=1e-9):
             return None
 
-    return BlockStencilOperator(cells, nb, W_taps, offsets, dD)
+    st = BlockStencilOperator(cells, nb, W_taps, offsets, dD)
+    if check and not _global_stencil_parity(go, st, x_lin, time):
+        # probe-local checks pass for operators that are translation
+        # invariant near the probes only (e.g. a central coefficient
+        # inclusion) — the whole-domain random-vector check is decisive
+        return None
+    return st
 
 
 class BlockEllMatrix:

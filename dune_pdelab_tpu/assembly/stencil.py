@@ -128,7 +128,8 @@ def compile_stencil(go, x_lin=None, time=0.0, check=True):
     if (mesh.nelements > 200_000 and x_lin is None
             and not go.has.get("alpha_boundary", False)
             and not go.has.get("lambda_boundary", False)
-            and not go.has.get("alpha_skeleton", False)):
+            and not go.has.get("alpha_skeleton", False)
+            and _coefficients_spatially_constant(go.lop, mesh)):
         from dune_pdelab_tpu.assembly.gridoperator import GridOperator
         from dune_pdelab_tpu.constraints.dirichlet import (
             constraints as make_constraints,
@@ -191,21 +192,53 @@ def compile_stencil(go, x_lin=None, time=0.0, check=True):
             weights[cidx, t] = col[flat(i)]
             filled[cidx, t] = True
 
-    if check:
-        # translation invariance: repeat one probe shifted by one element
-        j2 = probes[0] + k * np.ones(dim, dtype=np.int64)
-        e = jnp.zeros(space.ndofs).at[flat(j2)].set(1.0)
-        with jax.default_matmul_precision("highest"):
-            col2 = np.asarray(go.jacobian_apply(x_lin, e, time))
-        for off in itertools.product(*[range(-k, k + 1)] * dim):
-            i = j2 + np.array(off)
-            ci = tuple(int(i[d]) % k if k > 1 else 0 for d in range(dim))
-            cidx = classes.index(ci) if k > 1 else 0
-            delta = j2 - i
-            t = int(np.nonzero((offsets == delta).all(axis=1))[0][0])
-            if abs(col2[flat(i)] - weights[cidx, t]) > 1e-10 * max(
-                    1.0, abs(weights[cidx, t])):
-                return None   # not translation invariant
-
     mask = go.cg.mask if go.cg is not None else None
-    return StencilOperator(dims, k, weights, offsets, mask, classes)
+    st = StencilOperator(dims, k, weights, offsets, mask, classes)
+    if check and not _global_stencil_parity(go, st, x_lin, time):
+        return None   # not translation invariant (anywhere in the domain)
+    return st
+
+
+def _coefficients_spatially_constant(lop, mesh):
+    """Proxy-mesh precondition: the Jacobian-relevant coefficient fields
+    (A, b, c of the convection-diffusion protocol) must not vary over the
+    REAL domain — the proxy only sees a corner patch, so its own
+    translation-invariance check cannot rule out e.g. a central inclusion.
+    Sampled at 512 random points; LOPs without the protocol fall through
+    to the direct (globally verified) path."""
+    problem = getattr(lop, "problem", None) or getattr(lop, "params", None)
+    if problem is None:
+        return False
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(mesh.lower + rng.random((512, mesh.dim))
+                      * (mesh.upper - mesh.lower))
+    for name in ("A", "b", "c"):
+        fn = getattr(problem, name, None)
+        if fn is None:
+            continue
+        v = np.asarray(fn(pts))
+        if v.ndim and v.shape[0] == len(pts):
+            spread = float((np.max(v, axis=0) - np.min(v, axis=0)).max())
+            if spread > 1e-12 * max(1.0, float(np.abs(v).max())):
+                return False
+    return True
+
+
+def _global_stencil_parity(go, st, x_lin, time):
+    """Authoritative whole-domain verification: one random-vector apply.
+
+    Probe-local checks (compare weights at two shifted interior points)
+    miss operators that are translation invariant NEAR THE PROBES but not
+    globally — e.g. a compactly supported coefficient inclusion in the
+    middle of the domain. A single random z with st(z) == J z over the
+    full index range catches any discrepancy."""
+    rng = np.random.default_rng(96321)
+    zero = jnp.zeros(go.space.ndofs)
+    xl = x_lin if x_lin is not None else zero
+    z = jnp.asarray(rng.standard_normal(go.space.ndofs), zero.dtype)
+    with jax.default_matmul_precision("highest"):
+        y_ref = np.asarray(go.jacobian_apply(xl, z, time))
+    y_st = np.asarray(st(z))
+    scale = max(1.0, float(np.abs(y_ref).max()))
+    tol = 1e-8 if y_ref.dtype == np.float64 else 2e-4
+    return float(np.abs(y_st - y_ref).max()) <= tol * scale

@@ -93,6 +93,20 @@ class VTKWriter:
         self.point_data[name] = arr
         return self
 
+    def add_cell_data(self, name: str, arr):
+        """Attach a raw per-cell array (E,) or (E, ncomp) — e.g. an RT0
+        center velocity or a permeability field (the reference attaches
+        such adapters through addCellDataToVTKWriter). Vectors are padded
+        to 3 components as VTK expects."""
+        a = np.asarray(arr, dtype=np.float64)
+        if a.shape[0] != self.mesh.nelements:
+            raise ValueError(f"cell data {name}: {a.shape[0]} rows != "
+                             f"{self.mesh.nelements} cells")
+        if a.ndim > 1 and a.shape[-1] == 2:
+            a = np.concatenate([a, np.zeros_like(a[:, :1])], axis=1)
+        self.cell_data[name] = a
+        return self
+
     def write(self, path: str, binary: bool | None = None) -> str:
         """Write the .vtu file; `binary=None` auto-selects the native binary
         writer (io/vtk_binary.py, C++ appended-raw payloads) when available,

@@ -9,6 +9,7 @@ from dune_pdelab_tpu.ops.l2 import L2, L2VolumeFunctional
 from dune_pdelab_tpu.ops.convectiondiffusiondg import ConvectionDiffusionDG, DGMethod
 from dune_pdelab_tpu.ops.stokes import (
     NavierStokesParameters, TaylorHoodNavierStokes, NavierStokesMass,
+    StokesBC,
 )
 from dune_pdelab_tpu.ops.elasticity import (
     LinearElasticity, LinearElasticityParameters,

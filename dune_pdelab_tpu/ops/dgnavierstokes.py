@@ -149,7 +149,15 @@ class DGNavierStokes(LocalOperator):
         r_out.append(acc_o(tout_p, wq))
         return tuple(r_in), tuple(r_out)
 
-    # -- Dirichlet boundary (velocity data g) --------------------------------
+    # -- boundary: Nitsche-Dirichlet terms on VELOCITY_DIRICHLET faces only
+    # (reference: dgnavierstokes.hh:879,1039 — StressNeumann faces get no
+    # solution-dependent boundary term)
+    def _dirichlet_sel(self, ctx):
+        from dune_pdelab_tpu.ops.stokes import StokesBC
+        bct = jnp.broadcast_to(jnp.asarray(self.params.bctype(ctx.x)),
+                               ctx.x.shape[:-1])
+        return bct, bct == StokesBC.VELOCITY_DIRICHLET
+
     def alpha_boundary(self, ctx: FaceContext, u):
         dim = ctx.x.shape[-1]
         tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
@@ -159,6 +167,7 @@ class DGNavierStokes(LocalOperator):
         gamma = self._gamma(tab_v, h, dim)
         acc = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
         ndphi = jnp.einsum("qbd,d->qb", tab_v.grad[0], n)
+        _, sel = self._dirichlet_sel(ctx)
         vi = [self.value_at_qp(tab_v, u[c]) for c in range(dim)]
         gi = [self.gradient_at_qp(tab_v, u[c]) for c in range(dim)]
         pq = self.value_at_qp(tab_p, u[dim])
@@ -171,20 +180,24 @@ class DGNavierStokes(LocalOperator):
             w = -mu * ngrad + gamma * vi[c] + pq * n[c]
             if self.navier:
                 w = w + rho * jnp.where(un >= 0, un * vi[c], 0.0)
-            rc = acc(tab_v, w)
+            rc = acc(tab_v, jnp.where(sel, w, 0.0))
             if self.tensor_form:
                 W = jnp.stack([-self.theta * mu
                                * (n[e] * vi[c] + n[c] * vi[e])
                                for e in range(dim)], axis=-1)
-                rc = rc + self.accumulate_gradient(tab_v, ctx.factor, W)
+                rc = rc + self.accumulate_gradient(
+                    tab_v, ctx.factor, W * sel[..., None])
             else:
-                rc = rc + jnp.einsum("qb,eq->eb", ndphi,
-                                     -self.theta * mu * vi[c] * ctx.factor)
+                rc = rc + jnp.einsum(
+                    "qb,eq->eb", ndphi,
+                    jnp.where(sel, -self.theta * mu * vi[c], 0.0)
+                    * ctx.factor)
             r.append(rc)
-        r.append(acc(tab_p, un))
+        r.append(acc(tab_p, jnp.where(sel, un, 0.0)))
         return tuple(r)
 
     def lambda_boundary(self, ctx: FaceContext):
+        from dune_pdelab_tpu.ops.stokes import StokesBC
         dim = ctx.x.shape[-1]
         tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
         n = ctx.normal
@@ -193,8 +206,14 @@ class DGNavierStokes(LocalOperator):
         gamma = self._gamma(tab_v, h, dim)
         acc = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
         ndphi = jnp.einsum("qbd,d->qb", tab_v.grad[0], n)
+        bct, sel = self._dirichlet_sel(ctx)
+        neu = bct == StokesBC.STRESS_NEUMANN
         g = jnp.broadcast_to(
             jnp.asarray(self.params.g(ctx.x), ctx.factor.dtype), ctx.x.shape)
+        nb = jnp.broadcast_to(jnp.asarray(n, ctx.factor.dtype), ctx.x.shape)
+        jv = jnp.broadcast_to(
+            jnp.asarray(self.params.j(ctx.x, nb), ctx.factor.dtype),
+            ctx.x.shape)
         gn = sum(g[..., c] * n[c] for c in range(dim))
         r = []
         for c in range(dim):
@@ -202,15 +221,21 @@ class DGNavierStokes(LocalOperator):
             if self.navier:
                 un_in = gn  # inflow data
                 w = w + rho * jnp.where(un_in < 0, un_in * g[..., c], 0.0)
+            # prescribed stress on STRESS_NEUMANN faces: +j.phi
+            # (reference: dgnavierstokes.hh:1346-1360)
+            w = jnp.where(sel, w, 0.0) + jnp.where(neu, jv[..., c], 0.0)
             rc = acc(tab_v, w)
             if self.tensor_form:
                 W = jnp.stack([self.theta * mu
                                * (n[e] * g[..., c] + n[c] * g[..., e])
                                for e in range(dim)], axis=-1)
-                rc = rc + self.accumulate_gradient(tab_v, ctx.factor, W)
+                rc = rc + self.accumulate_gradient(
+                    tab_v, ctx.factor, W * sel[..., None])
             else:
-                rc = rc + jnp.einsum("qb,eq->eb", ndphi,
-                                     self.theta * mu * g[..., c] * ctx.factor)
+                rc = rc + jnp.einsum(
+                    "qb,eq->eb", ndphi,
+                    jnp.where(sel, self.theta * mu * g[..., c], 0.0)
+                    * ctx.factor)
             r.append(rc)
-        r.append(acc(tab_p, -gn))
+        r.append(acc(tab_p, jnp.where(sel, -gn, 0.0)))
         return tuple(r)

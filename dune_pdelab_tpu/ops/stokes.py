@@ -22,8 +22,19 @@ import jax.numpy as jnp
 from dune_pdelab_tpu.ops.base import LocalOperator, VolumeContext
 
 
+class StokesBC:
+    """Boundary-condition codes (reference: stokesparameter.hh:32
+    StokesBoundaryCondition — same values)."""
+    DO_NOTHING = 0
+    VELOCITY_DIRICHLET = 1
+    STRESS_NEUMANN = 2
+
+
 class NavierStokesParameters:
-    """Coefficient functions (stokesparameter.hh analog)."""
+    """Coefficient functions (stokesparameter.hh analog).
+
+    `mu` may be a constant or a callable mu(x) over batched physical
+    points (the reference's position-dependent viscosity protocol)."""
 
     time = 0.0
 
@@ -39,10 +50,38 @@ class NavierStokesParameters:
         """Dirichlet velocity (..., dim)."""
         return jnp.zeros_like(x)
 
+    def bctype(self, x):
+        """StokesBC code at boundary points."""
+        return StokesBC.VELOCITY_DIRICHLET
+
+    def j(self, x, normal):
+        """Stress flux on STRESS_NEUMANN faces: (..., dim), accumulated
+        as +j.phi (reference: taylorhoodnavierstokes.hh:300-364) — i.e.
+        j = -(mu dv/dn - p n) in the gradient form's natural pairing."""
+        return jnp.zeros_like(x)
+
     def with_time(self, t):
         p = copy.copy(self)
         p.time = t
         return p
+
+    def velocity_bctype(self):
+        """Predicate for `constraints()`: True where velocity Dirichlet."""
+        import numpy as np
+
+        def bc(x):
+            v = self.bctype(x)
+            return np.broadcast_to(
+                np.asarray(v) == StokesBC.VELOCITY_DIRICHLET, x.shape[:-1])
+        return bc
+
+    def mu_at(self, x, dtype):
+        """(scalar-or-(...,) viscosity, gradient-axis-broadcast view)."""
+        m = self.mu
+        if callable(m):
+            mu = jnp.broadcast_to(jnp.asarray(m(x), dtype), x.shape[:-1])
+            return mu, mu[..., None]
+        return m, m
 
 
 class TaylorHoodNavierStokes(LocalOperator):
@@ -75,7 +114,8 @@ class TaylorHoodNavierStokes(LocalOperator):
         assert len(u) == dim + 1, "expected velocity components + pressure"
         tab_v = ctx.tabs[0]
         tab_p = ctx.tabs[dim]
-        mu, rho = self.params.mu, self.params.rho
+        rho = self.params.rho
+        _, muv = self.params.mu_at(ctx.x, ctx.factor.dtype)
 
         vq = [self.value_at_qp(tab_v, u[c]) for c in range(dim)]        # (E,nqp)
         gv = [self.gradient_at_qp(tab_v, u[c]) for c in range(dim)]     # (E,nqp,d)
@@ -83,10 +123,10 @@ class TaylorHoodNavierStokes(LocalOperator):
 
         r = []
         for c in range(dim):
-            wvec = mu * gv[c]
+            wvec = muv * gv[c]
             if self.tensor_form:
                 # + mu (grad v)^T : row c is mu * d(v_d)/dx_c per column d
-                wvec = wvec + mu * jnp.stack(
+                wvec = wvec + muv * jnp.stack(
                     [gv[d][..., c] for d in range(dim)], axis=-1)
             wvec = wvec.at[..., c].add(-pq)          # -p * d(phi_c)/dx_c
             rc = self.accumulate_gradient(tab_v, ctx.factor, wvec)
@@ -104,6 +144,27 @@ class TaylorHoodNavierStokes(LocalOperator):
         fval = jnp.asarray(self.params.f(ctx.x), ctx.factor.dtype)
         fval = jnp.broadcast_to(fval, ctx.x.shape)
         r = [self.accumulate_value(tab_v, ctx.factor, -fval[..., c])
+             for c in range(dim)]
+        r.append(jnp.zeros((ctx.x.shape[0], ctx.tabs[dim].phi.shape[1]),
+                           ctx.factor.dtype))
+        return tuple(r)
+
+    def lambda_boundary(self, ctx):
+        """STRESS_NEUMANN faces accumulate +j.phi on the velocity leaves
+        (reference: taylorhoodnavierstokes.hh:300-364); VELOCITY_DIRICHLET
+        and DO_NOTHING faces contribute nothing."""
+        dim = ctx.x.shape[-1]
+        tab_v = ctx.tabs[0]
+        bct = jnp.broadcast_to(jnp.asarray(self.params.bctype(ctx.x)),
+                               ctx.x.shape[:-1])
+        n = jnp.broadcast_to(jnp.asarray(ctx.normal, ctx.factor.dtype),
+                             ctx.x.shape)
+        jv = jnp.broadcast_to(
+            jnp.asarray(self.params.j(ctx.x, n), ctx.factor.dtype),
+            ctx.x.shape)
+        sel = bct == StokesBC.STRESS_NEUMANN
+        r = [self.accumulate_value(tab_v, ctx.factor,
+                                   jnp.where(sel, jv[..., c], 0.0))
              for c in range(dim)]
         r.append(jnp.zeros((ctx.x.shape[0], ctx.tabs[dim].phi.shape[1]),
                            ctx.factor.dtype))

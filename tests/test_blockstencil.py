@@ -117,6 +117,18 @@ def test_block_stencil_rejects_nonqualifying():
     Vdg = FunctionSpace(mesh, QkDGFEM(1, 2))
     go2 = GridOperator(Vdg, ConvectionDiffusionDG(VarCoeff()))
     assert compile_block_stencil(go2) is None
+    # coefficient constant near the probes but not globally (central
+    # inclusion): only the whole-domain random-vector check catches this
+    # (regression: the CCFV Darcy solve silently used a wrong stencil)
+    class Inclusion(Diff):
+        def A(self, x):
+            inside = ((jnp.abs(x[..., 0] - 0.5) < 0.2)
+                      & (jnp.abs(x[..., 1] - 0.5) < 0.2))
+            return jnp.where(inside, 1e-3, 1.0)
+    mesh16 = StructuredMesh([0, 0], [1, 1], (16, 16))
+    Vdg16 = FunctionSpace(mesh16, QkDGFEM(1, 2))
+    go3 = GridOperator(Vdg16, ConvectionDiffusionDG(Inclusion()))
+    assert compile_block_stencil(go3) is None
 
 
 def test_pallas_block_stencil_interpret_parity():

@@ -58,6 +58,25 @@ def test_stencil_refuses_variable_coefficients():
     assert compile_stencil(go) is None
 
 
+def test_stencil_refuses_central_inclusion():
+    """Coefficient constant near the corner probes but not globally — the
+    whole-domain random-vector check must reject compilation (regression:
+    corner-local probing accepted this and the solver silently converged
+    on the wrong operator)."""
+    class Inclusion(ConvectionDiffusionProblem):
+        def A(self, x):
+            inside = ((jnp.abs(x[..., 0] - 0.5) < 0.15)
+                      & (jnp.abs(x[..., 1] - 0.5) < 0.15))
+            return jnp.where(inside, 1e-3, 1.0)
+
+    mesh = StructuredMesh([0, 0], [1, 1], (16, 16))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(Inclusion()),
+                      constraints=cg_)
+    assert compile_stencil(go) is None
+
+
 def test_stencil_refuses_partial_dirichlet():
     mesh = StructuredMesh([0, 0], [1, 1], (10, 10))
     V = FunctionSpace(mesh, QkFEM(1, 2))
