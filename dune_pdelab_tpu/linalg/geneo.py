@@ -435,7 +435,14 @@ def geneo_preconditioner_for(go, x_lin=None, nsub=4, overlap=None, nev=3,
         A = ell_to_csr(ell)
         subs = lattice_box_subdomains(grid_shape, boxes, overlap)
         return GenEOPreconditioner(A, nev=nev, subdomains=subs)
-    A = np.asarray(go.jacobian(x_lin, time).todense())
+    # general sparse fallback: keep the global operator sparse (CSR) —
+    # only the bounded-size (m, m) subdomain blocks are ever materialized
+    # (the reference's per-rank model: geneobasis.hh local problems)
+    import scipy.sparse as sp
+    Abcoo = go.jacobian(x_lin, time)
+    A = sp.coo_matrix(
+        (np.asarray(Abcoo.data), np.asarray(Abcoo.indices).T),
+        shape=Abcoo.shape).tocsr()
     N = A.shape[0]
     if N % nsub:
         raise ValueError(f"ndofs {N} not divisible by nsub {nsub}")

@@ -159,6 +159,7 @@ class DGNavierStokes(LocalOperator):
         return bct, bct == StokesBC.VELOCITY_DIRICHLET
 
     def alpha_boundary(self, ctx: FaceContext, u):
+        from dune_pdelab_tpu.ops.stokes import StokesBC
         dim = ctx.x.shape[-1]
         tab_v, tab_p = ctx.tabs[0], ctx.tabs[dim]
         n = ctx.normal
@@ -167,33 +168,47 @@ class DGNavierStokes(LocalOperator):
         gamma = self._gamma(tab_v, h, dim)
         acc = lambda t, w: jnp.einsum("qb,eq->eb", t.phi, w * ctx.factor)
         ndphi = jnp.einsum("qbd,d->qb", tab_v.grad[0], n)
-        _, sel = self._dirichlet_sel(ctx)
+        bct, sel = self._dirichlet_sel(ctx)
+        slp = bct == StokesBC.SLIP_VELOCITY
+        selp = sel | slp   # pressure coupling: Dirichlet AND slip faces
         vi = [self.value_at_qp(tab_v, u[c]) for c in range(dim)]
         gi = [self.gradient_at_qp(tab_v, u[c]) for c in range(dim)]
         pq = self.value_at_qp(tab_p, u[dim])
         un = sum(vi[c] * n[c] for c in range(dim))
+        # slip (free tangential, weak u.n = 0; reference:
+        # dgnavierstokes.hh:923-949): Nitsche on the NORMAL trace only,
+        # scalarized via ten_sum for the full-tensor form
+        ten = 2.0 if self.tensor_form else 1.0
+        ngrad_n = sum(n[c] * jnp.einsum("fqd,d->fq", gi[c], n)
+                      for c in range(dim))
+        w_slip = jnp.where(slp, -ten * mu * ngrad_n + gamma * un, 0.0)
+        w_slip_adj = jnp.where(slp, -self.theta * ten * mu * un, 0.0)
         r = []
         for c in range(dim):
             ngrad = jnp.einsum("fqd,d->fq", gi[c], n)
             if self.tensor_form:
                 ngrad = ngrad + sum(n[d] * gi[d][..., c] for d in range(dim))
-            w = -mu * ngrad + gamma * vi[c] + pq * n[c]
+            w = -mu * ngrad + gamma * vi[c]
             if self.navier:
                 w = w + rho * jnp.where(un >= 0, un * vi[c], 0.0)
-            rc = acc(tab_v, jnp.where(sel, w, 0.0))
+            w = jnp.where(sel, w, 0.0) \
+                + jnp.where(selp, pq, 0.0) * n[c] + w_slip * n[c]
+            rc = acc(tab_v, w)
             if self.tensor_form:
                 W = jnp.stack([-self.theta * mu
                                * (n[e] * vi[c] + n[c] * vi[e])
                                for e in range(dim)], axis=-1)
                 rc = rc + self.accumulate_gradient(
                     tab_v, ctx.factor, W * sel[..., None])
+                rc = rc + jnp.einsum("qb,eq->eb", ndphi,
+                                     w_slip_adj * n[c] * ctx.factor)
             else:
                 rc = rc + jnp.einsum(
                     "qb,eq->eb", ndphi,
-                    jnp.where(sel, -self.theta * mu * vi[c], 0.0)
-                    * ctx.factor)
+                    (jnp.where(sel, -self.theta * mu * vi[c], 0.0)
+                     + w_slip_adj * n[c]) * ctx.factor)
             r.append(rc)
-        r.append(acc(tab_p, jnp.where(sel, un, 0.0)))
+        r.append(acc(tab_p, jnp.where(selp, un, 0.0)))
         return tuple(r)
 
     def lambda_boundary(self, ctx: FaceContext):
@@ -208,6 +223,8 @@ class DGNavierStokes(LocalOperator):
         ndphi = jnp.einsum("qbd,d->qb", tab_v.grad[0], n)
         bct, sel = self._dirichlet_sel(ctx)
         neu = bct == StokesBC.STRESS_NEUMANN
+        slp = bct == StokesBC.SLIP_VELOCITY
+        selp = sel | slp
         g = jnp.broadcast_to(
             jnp.asarray(self.params.g(ctx.x), ctx.factor.dtype), ctx.x.shape)
         nb = jnp.broadcast_to(jnp.asarray(n, ctx.factor.dtype), ctx.x.shape)
@@ -215,6 +232,9 @@ class DGNavierStokes(LocalOperator):
             jnp.asarray(self.params.j(ctx.x, nb), ctx.factor.dtype),
             ctx.x.shape)
         gn = sum(g[..., c] * n[c] for c in range(dim))
+        ten = 2.0 if self.tensor_form else 1.0
+        w_slip = jnp.where(slp, -gamma * gn, 0.0)
+        w_slip_adj = jnp.where(slp, self.theta * ten * mu * gn, 0.0)
         r = []
         for c in range(dim):
             w = -gamma * g[..., c]
@@ -222,8 +242,10 @@ class DGNavierStokes(LocalOperator):
                 un_in = gn  # inflow data
                 w = w + rho * jnp.where(un_in < 0, un_in * g[..., c], 0.0)
             # prescribed stress on STRESS_NEUMANN faces: +j.phi
-            # (reference: dgnavierstokes.hh:1346-1360)
-            w = jnp.where(sel, w, 0.0) + jnp.where(neu, jv[..., c], 0.0)
+            # (reference: dgnavierstokes.hh:1346-1360); slip faces get the
+            # normal-projected data terms (g.n, usually zero)
+            w = (jnp.where(sel, w, 0.0) + jnp.where(neu, jv[..., c], 0.0)
+                 + w_slip * n[c])
             rc = acc(tab_v, w)
             if self.tensor_form:
                 W = jnp.stack([self.theta * mu
@@ -231,11 +253,13 @@ class DGNavierStokes(LocalOperator):
                                for e in range(dim)], axis=-1)
                 rc = rc + self.accumulate_gradient(
                     tab_v, ctx.factor, W * sel[..., None])
+                rc = rc + jnp.einsum("qb,eq->eb", ndphi,
+                                     w_slip_adj * n[c] * ctx.factor)
             else:
                 rc = rc + jnp.einsum(
                     "qb,eq->eb", ndphi,
-                    jnp.where(sel, self.theta * mu * g[..., c], 0.0)
-                    * ctx.factor)
+                    (jnp.where(sel, self.theta * mu * g[..., c], 0.0)
+                     + w_slip_adj * n[c]) * ctx.factor)
             r.append(rc)
-        r.append(acc(tab_p, jnp.where(sel, -gn, 0.0)))
+        r.append(acc(tab_p, jnp.where(selp, -gn, 0.0)))
         return tuple(r)

@@ -28,6 +28,7 @@ class StokesBC:
     DO_NOTHING = 0
     VELOCITY_DIRICHLET = 1
     STRESS_NEUMANN = 2
+    SLIP_VELOCITY = 3
 
 
 class NavierStokesParameters:

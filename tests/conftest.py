@@ -58,6 +58,10 @@ _SLOW_OVERRIDES = (
     "test_limited_advection_monotone",        # 12s
     "test_geneo_two_level_scalability",       # 12s
     "test_dgf_reentrant_corner_adaptive_solve",            # 12s
+    "test_dg_poiseuille_stress_neumann_exact",             # 23s
+    "test_dg_slip_walls_plug_flow_exact",                  # 2x ~18s
+    "test_geneo_sparse_fallback_on_simplex",               # 26s
+    "test_variable_viscosity_callable_mu",                 # 6s
 )
 
 

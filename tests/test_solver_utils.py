@@ -85,6 +85,30 @@ def test_geneo_on_high_contrast_pde():
     assert float(jnp.linalg.norm(x1 - x2)) < 1e-5 * float(jnp.linalg.norm(x1))
 
 
+def test_geneo_sparse_fallback_on_simplex():
+    """Non-lattice spaces take the sparse-CSR fallback (no global dense
+    matrix): GenEO still converges to the Jacobi-CG solution on a simplex
+    P1 high-contrast problem."""
+    from dune_pdelab_tpu.mesh import SimplexMesh
+    from dune_pdelab_tpu.fe import PkFEM
+
+    p = HighContrast()
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0], [1, 1], (8, 8)))
+    V = FunctionSpace(sm, PkFEM(1, 2))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    N = V.ndofs        # 81
+    M = geneo_preconditioner_for(go, nsub=3, overlap=6, nev=2)
+    b = go.residual(V.zero())
+    A = lambda z: go.jacobian_apply(V.zero(), z)
+    d = go.jacobian_diagonal(V.zero())
+    x1, s_jac = cg(A, b, M=lambda r: r / d, tol=1e-9, maxiter=3000)
+    x2, s_gen = cg(A, b, M=M, tol=1e-9, maxiter=3000)
+    assert bool(s_gen.converged)
+    assert int(s_gen.iterations) <= int(s_jac.iterations)
+    assert float(jnp.linalg.norm(x1 - x2)) < 1e-5 * float(jnp.linalg.norm(x1))
+
+
 def test_solver_statistics():
     V, go = _setup(8)
     ls = SEQ_CG_Jacobi()

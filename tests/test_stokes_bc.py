@@ -140,6 +140,55 @@ def test_dg_poiseuille_stress_neumann_exact():
     assert perr < 1e-6, perr
 
 
+@pytest.mark.parametrize("tensor_form", [False, True])
+def test_dg_slip_walls_plug_flow_exact(tensor_form):
+    """SLIP_VELOCITY walls (reference: dgnavierstokes.hh:870-949, Nitsche
+    on the normal trace only): plug flow u=(1,0), p=0 is exact with slip
+    walls + Dirichlet inflow + do-nothing outflow. No-slip walls would
+    shear it — exactness proves the tangential trace is genuinely free
+    while u.n is constrained."""
+    from dune_pdelab_tpu import FunctionSpace, CompositeSpace
+    from dune_pdelab_tpu.fe import QkDGFEM
+    from dune_pdelab_tpu.space.space import PowerSpace
+    from dune_pdelab_tpu.ops.dgnavierstokes import DGNavierStokes
+
+    class Plug(NavierStokesParameters):
+        def __init__(self):
+            super().__init__(mu=MU, rho=0.0)
+
+        def g(self, x):
+            return jnp.stack([jnp.ones(x.shape[:-1]),
+                              jnp.zeros(x.shape[:-1])], axis=-1)
+
+        def bctype(self, x):
+            on_wall = (x[..., 1] < 1e-10) | (x[..., 1] > 1 - 1e-10)
+            on_out = x[..., 0] > L - 1e-10
+            return jnp.where(on_wall, StokesBC.SLIP_VELOCITY,
+                             jnp.where(on_out, StokesBC.DO_NOTHING,
+                                       StokesBC.VELOCITY_DIRICHLET))
+
+    prm = Plug()
+    mesh = StructuredMesh([0, 0], [L, 1], (6, 3))
+    Vv = FunctionSpace(mesh, QkDGFEM(2, 2))
+    Vp = FunctionSpace(mesh, QkDGFEM(1, 2))
+    W = CompositeSpace(PowerSpace(Vv, 2), Vp)
+    go = GridOperator(W, DGNavierStokes(prm, tensor_form=tensor_form))
+    ls = LinearSolverBackend(solver="gmres", precond="block_jacobi",
+                             restart=200, maxiter=60000)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-11, verbose=0)
+    x = slp.apply(W.zero())
+    assert slp.result.converged
+    verr = 0.0
+    for c in range(2):
+        xc = W.children[0].restrict(W.restrict(x, 0), c)
+        verr += float(l2_difference(
+            Vv, xc, lambda p, c=c: np.full(len(p), 1.0 - c))) ** 2
+    perr = float(l2_difference(Vp, W.restrict(x, 1),
+                               lambda p: np.zeros(len(p))))
+    assert np.sqrt(verr) < 1e-8, verr
+    assert perr < 1e-7, perr
+
+
 def test_variable_viscosity_callable_mu():
     """mu(x) callable reduces to the constant case when constant-valued,
     and assembles position-dependent viscosity without error."""
