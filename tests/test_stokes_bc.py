@@ -189,6 +189,64 @@ def test_dg_slip_walls_plug_flow_exact(tensor_form):
     assert perr < 1e-7, perr
 
 
+@pytest.mark.slow
+def test_poiseuille_3d_do_nothing_outflow_exact():
+    """3D plane-Poiseuille in a duct, invariant in z: u = (y(1-y), 0, 0),
+    p = 2 mu (L - x); exact in Q2/Q1 Taylor-Hood, do-nothing outflow sets
+    the pressure level. First 3D composite-space Stokes oracle."""
+    class P3(NavierStokesParameters):
+        def __init__(self):
+            super().__init__(mu=MU, rho=0.0)
+
+        def u_exact(self, p):
+            return np.stack([p[:, 1] * (1 - p[:, 1]),
+                             np.zeros(len(p)), np.zeros(len(p))], axis=-1)
+
+        def p_exact(self, p):
+            return 2 * MU * (L - p[:, 0])
+
+        def g(self, x):
+            return jnp.stack([x[..., 1] * (1 - x[..., 1]),
+                              jnp.zeros(x.shape[:-1]),
+                              jnp.zeros(x.shape[:-1])], axis=-1)
+
+        def bctype(self, x):
+            on_wall = ((x[..., 1] < 1e-10) | (x[..., 1] > 1 - 1e-10)
+                       | (x[..., 2] < 1e-10) | (x[..., 2] > 1 - 1e-10))
+            on_out = x[..., 0] > L - 1e-10
+            return jnp.where(on_wall, StokesBC.VELOCITY_DIRICHLET,
+                             jnp.where(on_out, StokesBC.DO_NOTHING,
+                                       StokesBC.VELOCITY_DIRICHLET))
+
+    prm = P3()
+    mesh = StructuredMesh([0, 0, 0], [L, 1, 1], (6, 3, 3))
+    W = taylor_hood_space(mesh, degree=2)
+    cg_ = constraints((prm.velocity_bctype(), None), W)
+    go = GridOperator(W, TaylorHoodNavierStokes(prm), constraints=cg_)
+    ls = LinearSolverBackend(solver="gmres", precond=StokesBlockJacobi(W, MU),
+                             restart=200, maxiter=60000)
+    gv = np.asarray(prm.g(jnp.asarray(W.children[0].children[0].dof_coords())))
+    x0 = np.zeros(W.ndofs)
+    for c in range(3):
+        gidx = W.child_global(0, W.children[0].child_global(
+            c, np.arange(len(gv), dtype=np.int64)))
+        x0[gidx] = gv[:, c]
+    x0 = jnp.asarray(x0) * jnp.asarray(cg_.mask_np)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=1e-11, verbose=0)
+    x = slp.apply(x0)
+    assert slp.result.converged
+    Vv = W.children[0].children[0]
+    verr = 0.0
+    for c in range(3):
+        xc = W.children[0].restrict(W.restrict(x, 0), c)
+        verr += float(l2_difference(
+            Vv, xc, lambda p, c=c: prm.u_exact(p)[:, c])) ** 2
+    perr = float(l2_difference(Vp := W.children[1], W.restrict(x, 1),
+                               prm.p_exact))
+    assert np.sqrt(verr) < 1e-7, verr
+    assert perr < 1e-6, perr
+
+
 def test_variable_viscosity_callable_mu():
     """mu(x) callable reduces to the constant case when constant-valued,
     and assembles position-dependent viscosity without error."""
