@@ -206,6 +206,8 @@ def _coefficients_spatially_constant(lop, mesh):
     translation-invariance check cannot rule out e.g. a central inclusion.
     Sampled at 512 random points; LOPs without the protocol fall through
     to the direct (globally verified) path."""
+    if getattr(lop, "spatially_invariant", False):
+        return True   # coefficient-free by construction (e.g. L2 mass)
     problem = getattr(lop, "problem", None) or getattr(lop, "params", None)
     if problem is None:
         return False

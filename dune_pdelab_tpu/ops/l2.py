@@ -20,6 +20,9 @@ class L2(LocalOperator):
     def __init__(self, scale=1.0, quadrature_add: int = 0):
         self.scale = scale
         self.quadrature_add = quadrature_add
+        # constant scale -> translation invariant (qualifies the stencil
+        # compilers' huge-mesh proxy path, assembly/stencil.py)
+        self.spatially_invariant = not callable(scale)
 
     def _scale(self, ctx):
         return self.scale(ctx.x) if callable(self.scale) else self.scale

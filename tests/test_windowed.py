@@ -104,6 +104,24 @@ def test_windowed_taylor_hood_stokes():
     _parity(W, go, wgo)
 
 
+def test_windowed_stokes_outflow_bc():
+    """Mixed boundary-condition Stokes (Dirichlet inflow/walls +
+    stress-Neumann outflow traction) under window sharding: the boundary
+    face groups carry bctype-dependent alpha AND lambda terms that must
+    land in the correct shard windows."""
+    from dune_pdelab_tpu.solvers.stokes import taylor_hood_space
+    from dune_pdelab_tpu.ops import TaylorHoodNavierStokes
+    from tests.test_stokes_bc import Poiseuille, P0
+
+    prm = Poiseuille(p_out=P0)
+    mesh = StructuredMesh([0, 0], [2.0, 1], (8, 4))
+    W = taylor_hood_space(mesh, degree=2)
+    cg_ = constraints((prm.velocity_bctype(), None), W)
+    go = GridOperator(W, TaylorHoodNavierStokes(prm), constraints=cg_)
+    wgo = WindowShardedGridOperator(go)
+    _parity(W, go, wgo)
+
+
 def test_windowed_simplex_sipg():
     """Simplex mesh + DG skeleton terms (per-face geometry/tabs sharded)."""
     from dune_pdelab_tpu.mesh import SimplexMesh
