@@ -90,6 +90,27 @@ def test_darcy_ccfv_local_conservation():
     assert np.max(np.abs(div - fmid)) < 1e-8 * np.max(np.abs(fmid))
 
 
+def test_darcy_ccfv_3d_conservation():
+    """3D TPFA solve + RT0 reconstruction: exact linear-head velocities
+    and cell-by-cell conservation."""
+    class P(ConvectionDiffusionProblem):
+        def A(self, x):
+            return 2.0
+
+        def g(self, x):
+            return x[..., 2]
+
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (4, 5, 6))
+    u = mesh.element_centers()[:, 2]
+    dv = DarcyVelocityFromHeadCCFV(mesh, P(), u)
+    vx, vy, vz = dv.face_normal_velocities()
+    assert np.allclose(vx, 0.0, atol=1e-13)
+    assert np.allclose(vy, 0.0, atol=1e-13)
+    assert np.allclose(vz, -2.0, atol=1e-12)
+    assert np.allclose(dv.at_centers(), [0.0, 0.0, -2.0], atol=1e-12)
+    assert np.allclose(dv.cell_divergence(), 0.0, atol=1e-10)
+
+
 def test_permeability_adapters():
     p = _TensorHead()
     mesh = StructuredMesh([0, 0], [1, 1], (4, 4))
