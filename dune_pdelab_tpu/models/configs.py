@@ -359,6 +359,80 @@ def config9_assembled_ilu(cells=12, reduction=1e-10):
             "ndofs": V.ndofs, "converged": slp.result.converged}
 
 
+def config10_stokes_outflow(cells=6, reduction=1e-11):
+    """(10) Poiseuille channel with the StokesBC protocol: Dirichlet
+    inflow/walls + STRESS_NEUMANN outflow traction j = p_out n sets the
+    pressure level (reference: stokesparameter.hh:32 codes +
+    taylorhoodnavierstokes.hh:300 lambda_boundary). The exact solution is
+    in Q2/Q1, so both errors are solver-tolerance-scale; golden pins the
+    GMRES iteration count and the exactness floor."""
+    from dune_pdelab_tpu import StructuredMesh, GridOperator, constraints
+    from dune_pdelab_tpu.ops import TaylorHoodNavierStokes, StokesBC
+    from dune_pdelab_tpu.ops.stokes import NavierStokesParameters
+    from dune_pdelab_tpu.solvers.stationary import (
+        StationaryLinearProblemSolver,
+    )
+    from dune_pdelab_tpu.solvers.stokes import (
+        taylor_hood_space, StokesBlockJacobi,
+    )
+
+    MU, L, P0 = 0.7, 2.0, 1.3
+
+    class Poiseuille(NavierStokesParameters):
+        def __init__(self):
+            super().__init__(mu=MU, rho=0.0)
+
+        def u_exact(self, p):
+            return np.stack([p[:, 1] * (1 - p[:, 1]),
+                             np.zeros(len(p))], axis=-1)
+
+        def p_exact(self, p):
+            return 2 * MU * (L - p[:, 0]) + P0
+
+        def g(self, x):
+            return jnp.stack([x[..., 1] * (1 - x[..., 1]),
+                              jnp.zeros(x.shape[:-1])], axis=-1)
+
+        def bctype(self, x):
+            on_wall = (x[..., 1] < 1e-10) | (x[..., 1] > 1 - 1e-10)
+            on_out = x[..., 0] > L - 1e-10
+            return jnp.where(
+                on_wall, StokesBC.VELOCITY_DIRICHLET,
+                jnp.where(on_out, StokesBC.STRESS_NEUMANN,
+                          StokesBC.VELOCITY_DIRICHLET))
+
+        def j(self, x, normal):
+            return P0 * normal
+
+    prm = Poiseuille()
+    mesh = StructuredMesh([0, 0], [L, 1], (2 * cells, cells))
+    W = taylor_hood_space(mesh, degree=2)
+    cg_ = constraints((prm.velocity_bctype(), None), W)
+    go = GridOperator(W, TaylorHoodNavierStokes(prm), constraints=cg_)
+    ls = LinearSolverBackend(solver="gmres",
+                             precond=StokesBlockJacobi(W, MU),
+                             restart=150, maxiter=40000)
+    slp = StationaryLinearProblemSolver(go, ls, reduction=reduction,
+                                        verbose=0)
+    # Dirichlet data must ride the initial iterate (constrained DOFs are
+    # invariant under the solve)
+    xg = W.interpolate((lambda p: prm.u_exact(p),
+                        lambda p: np.zeros(len(p))))
+    x0 = jnp.where(jnp.asarray(cg_.mask_np), xg, 0.0)
+    x = slp.apply(x0)
+    Vv = W.children[0].children[0]
+    verr = 0.0
+    for c in range(2):
+        xc = W.children[0].restrict(W.restrict(x, 0), c)
+        verr += float(l2_difference(
+            Vv, xc, lambda p, c=c: prm.u_exact(p)[:, c])) ** 2
+    perr = float(l2_difference(W.children[1], W.restrict(x, 1),
+                               prm.p_exact))
+    return {"l2_v_error": float(np.sqrt(verr)), "l2_p_error": perr,
+            "iterations": slp.result.linear_solver_iterations,
+            "ndofs": W.ndofs, "converged": slp.result.converged}
+
+
 ALL_CONFIGS = {
     "config1": config1_poisson_2d_mf,
     "config2": config2_poisson_3d_gmg,
@@ -369,4 +443,5 @@ ALL_CONFIGS = {
     "config7": config7_dg_twolevel,
     "config8": config8_windowed_sharded,
     "config9": config9_assembled_ilu,
+    "config10": config10_stokes_outflow,
 }

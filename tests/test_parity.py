@@ -1,6 +1,7 @@
-"""Reference-parity oracles: the five BASELINE configs + four round-3
+"""Reference-parity oracles: the five BASELINE configs + five round-3
 scenarios (adaptive L-shape trajectory, DG two-level MG, window-sharded
-solve, assembled-ELL ILU0) pinned against recorded golden numbers
+solve, assembled-ELL ILU0, Stokes stress-Neumann outflow exactness)
+pinned against recorded golden numbers
 (tests/golden_parity.json, recorded fp64/CPU/8-virtual-devices by
 tools/record_golden.py). Fails when solver semantics drift — the
 iteration-parity discipline of the reference's matrix-free oracle
@@ -31,6 +32,7 @@ _CONFIGS = {
     "config7_dg_twolevel": configs.config7_dg_twolevel,
     "config8_windowed_sharded": configs.config8_windowed_sharded,
     "config9_assembled_ilu": configs.config9_assembled_ilu,
+    "config10_stokes_outflow": configs.config10_stokes_outflow,
 }
 
 
@@ -43,4 +45,7 @@ def test_config_parity(name):
         if key in _ITER_KEYS or key in ("converged", "ndofs"):
             assert int(round(val)) == int(round(ref)), (name, key, val, ref)
         else:
-            assert val == pytest.approx(ref, rel=1e-8), (name, key, val, ref)
+            # abs floor: exactness-oracle configs (config10) pin errors at
+            # the solver-tolerance noise floor, meaningless to 1e-8 rel
+            assert val == pytest.approx(ref, rel=1e-8, abs=1e-9), \
+                (name, key, val, ref)

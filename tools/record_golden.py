@@ -47,6 +47,7 @@ def main():
         ("config7_dg_twolevel", configs.config7_dg_twolevel, {}),
         ("config8_windowed_sharded", configs.config8_windowed_sharded, {}),
         ("config9_assembled_ilu", configs.config9_assembled_ilu, {}),
+        ("config10_stokes_outflow", configs.config10_stokes_outflow, {}),
     ]:
         if only and name not in only:
             continue
