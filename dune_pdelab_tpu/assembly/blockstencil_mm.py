@@ -512,9 +512,9 @@ def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):
     """Lower a 3D BlockStencilOperator to the mode-major kernel. Returns
     (apply_flat, apply_mm, to_mm, from_mm) or None if it does not qualify
     (3D, face-neighbor taps only, aligned planes, ring fits VMEM).
-    mode='vreg' (default on TPU) runs the register-resident tile kernel;
-    'mxu' uses the flat-plane matmul contraction; 'vpu' the per-tap
-    shift-FMA variant."""
+    mode='mxu' (the default used by LinearSolverBackend) is the
+    flat-plane matmul contraction; 'vreg' the register-resident tile
+    kernel; 'vpu' the per-tap shift-FMA variant."""
     cells = block_op.cells
     if len(cells) != 3:
         return None
