@@ -203,7 +203,7 @@ def build_mm_block_apply(cells, nb, W_taps, offsets, dD_sides,
 
 
 def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
-                        interpret=False, bz=8):
+                        interpret=False, bz=8, seg_scratch=False):
     """MXU variant of the mode-major kernel: planes are stored FLAT as
     (nb, ny*nx) 2D tiles, so
 
@@ -246,7 +246,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
                 z_hbm.at[idx], raw.at[slot, j], sems.at[slot, j]))
         return copies
 
-    def kernel(wcat_ref, z_hbm, out_ref, raw, sems):
+    def kernel(wcat_ref, z_hbm, out_ref, raw, sems, *maybe_scat):
         zb = pl.program_id(0)
 
         @pl.when(zb == 0)
@@ -279,23 +279,33 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         zi = zb * bz + jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
         zm = (zi > 0).astype(f32)        # z-1 exists (per plane of block)
         zp = (zi < nz - 1).astype(f32)
-        segs = [
-            cur,
-            mxm * pltpu.roll(cur, 1, 2),
-            mxp * pltpu.roll(cur, L - 1, 2),
-            mym * pltpu.roll(cur, nx, 2),
-            myp * pltpu.roll(cur, L - nx, 2),
-            zm * prv,
-            zp * nxt,
-            # face-masked copies for the dD boundary corrections
-            (1.0 - mxm) * cur,
-            (1.0 - mxp) * cur,
-            (1.0 - mym) * cur,
-            (1.0 - myp) * cur,
-            (1.0 - zm) * cur,
-            (1.0 - zp) * cur,
-        ]
-        scat = jnp.concatenate(segs, axis=1)       # (bz, 13*nb, L)
+        def seg_exprs():
+            return [
+                cur,
+                mxm * pltpu.roll(cur, 1, 2),
+                mxp * pltpu.roll(cur, L - 1, 2),
+                mym * pltpu.roll(cur, nx, 2),
+                myp * pltpu.roll(cur, L - nx, 2),
+                zm * prv,
+                zp * nxt,
+                # face-masked copies for the dD boundary corrections
+                (1.0 - mxm) * cur,
+                (1.0 - mxp) * cur,
+                (1.0 - mym) * cur,
+                (1.0 - myp) * cur,
+                (1.0 - zm) * cur,
+                (1.0 - zp) * cur,
+            ]
+
+        if seg_scratch:
+            # store each segment straight into its scat slice — removes
+            # the concatenate's extra (bz, 13nb, L) write+read pass
+            sref = maybe_scat[0]
+            for si, seg in enumerate(seg_exprs()):
+                sref[:, si * nb:(si + 1) * nb, :] = seg
+            scat = sref
+        else:
+            scat = jnp.concatenate(seg_exprs(), axis=1)  # (bz, 13*nb, L)
         for j in range(bz):
             # precision=HIGHEST: MXU dots default to bf16 operands even
             # inside Pallas — bf16-rounded weights are an O(1e-3)
@@ -319,7 +329,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         scratch_shapes=[
             pltpu.VMEM((2, bz + 2, nb, L), f32),
             pltpu.SemaphoreType.DMA((2, bz + 2)),
-        ],
+        ] + ([pltpu.VMEM((bz, 13 * nb, L), f32)] if seg_scratch else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -540,6 +550,11 @@ def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):
         return build_mm_vreg_apply(cells, nb, block_op.W_taps,
                                    block_op.offsets, block_op.dD_sides,
                                    interpret=interpret)
+    if mode == "mxu2":   # mxu with direct-to-scratch segment stores
+        return build_mm_flat_apply(cells, nb, block_op.W_taps,
+                                   block_op.offsets, block_op.dD_sides,
+                                   interpret=interpret, bz=bz,
+                                   seg_scratch=True)
     build = build_mm_flat_apply if mode == "mxu" else build_mm_block_apply
     return build(cells, nb, block_op.W_taps, block_op.offsets,
                  block_op.dD_sides, interpret=interpret, bz=bz)
