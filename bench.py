@@ -151,6 +151,17 @@ def main():
                 log(f"assembled half (cells={cells}) skipped: "
                     f"{type(e).__name__}: {e}")
 
+    if os.environ.get("BENCH_DG", "1") != "0":
+        # DG fast-path throughput (the block-stencil mm-resident apply)
+        for cells, budget in ((128, int(os.environ.get(
+                "BENCH_DG_BUDGET_S", "1200"))), (64, 400)):
+            try:
+                out.update(_with_timeout(_dg_half, budget, log, cells))
+                break
+            except BaseException as e:
+                log(f"DG half (cells={cells}) skipped: "
+                    f"{type(e).__name__}: {e}")
+
     print(json.dumps(out))
 
 
@@ -240,6 +251,66 @@ def _assembled_half(log, cells=None):
         "assembled_ell_build_s": t_asm,
         "assembled_spmv_gdofs": N / t_p / 1e9,
         "assembled_spmv_gbps": 30.0 * N * 4 / t_p / 1e9,
+    }
+
+
+def _dg_half(log, cells=128):
+    """DG block-stencil fast path at cells^3 Q1 DG SIPG: best mm-resident
+    Pallas apply across the lowerings in BENCH_DG_MODES (reference analog:
+    the FastDG blocked apply over assembled BCRS blocks,
+    gridoperator/fastdg/assembler.hh:25)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.fe import QkDGFEM
+    from dune_pdelab_tpu.ops import ConvectionDiffusionProblem
+    from dune_pdelab_tpu.ops.convectiondiffusiondg import (
+        ConvectionDiffusionDG,
+    )
+    from dune_pdelab_tpu.assembly.blockstencil import compile_block_stencil
+    from dune_pdelab_tpu.assembly.blockstencil_mm import try_mm_block_stencil
+
+    class Diff(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (cells,) * 3)
+    V = pt.FunctionSpace(mesh, QkDGFEM(1, 3))
+    go = pt.GridOperator(V, ConvectionDiffusionDG(Diff()))
+    N = V.ndofs
+    log(f"DG half: N={N}")
+    st = compile_block_stencil(go)
+    if st is None:
+        raise RuntimeError("block stencil not applicable")
+
+    def sync(v):
+        return float(jnp.sum(v))
+
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(N),
+                    jnp.float32)
+    best = (None, float("inf"))
+    for mode in os.environ.get("BENCH_DG_MODES", "mxu,mxu2").split(","):
+        mm = try_mm_block_stencil(st, mode=mode)
+        if mm is None:
+            continue
+        _, apply_mm, to_mm, _ = mm
+        zmm = to_mm(z)
+        sync(apply_mm(zmm))            # compile
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            y = apply_mm(zmm)
+        sync(y)
+        t = (time.perf_counter() - t0) / reps
+        log(f"DG mm/{mode}: {t*1e3:.2f} ms = {N/t/1e9:.2f} Gdof/s")
+        if t < best[1]:
+            best = (mode, t)
+    if best[0] is None:
+        raise RuntimeError("no mm lowering applicable")
+    return {
+        "dg_N": N,
+        "dg_mm_mode": best[0],
+        "dg_mm_gdofs": N / best[1] / 1e9,
     }
 
 
