@@ -62,6 +62,57 @@ def test_twophase_displacement():
     assert np.all(np.diff(s_row) < 0.05), s_row
 
 
+def test_twophase_wells_discrete_mass_balance():
+    """Per-phase wells (q_l/q_g, reference: twophaseccfv.hh:219-230
+    protocol, :293-295 source accumulation): on a closed (no-flow) domain
+    with a liquid injector in one corner and a gas producer in the other,
+    the implicit scheme's summed residual equations force
+    d(total phase storage) = dt * integral(q_phase) EXACTLY (fluxes
+    telescope) — a discrete mass-balance oracle for the well terms."""
+    Q = 0.05
+    n = 8
+    hx = 1.0 / n
+
+    class Wells(TwoPhaseParameters):
+        def is_dirichlet(self, x):
+            return jnp.zeros(x.shape[:-1], bool)     # closed domain
+
+        def q_l(self, x):                            # injector at (0, 0)
+            return jnp.where((x[..., 0] < hx) & (x[..., 1] < hx), Q, 0.0)
+
+        def q_g(self, x):                            # producer at (1, 1)
+            return jnp.where((x[..., 0] > 1 - hx) & (x[..., 1] > 1 - hx),
+                             -Q, 0.0)
+
+    prm = Wells(phi=0.2, pc_scale=2.0)
+    mesh = StructuredMesh([0, 0], [1, 1], (n, n))
+    P0 = FunctionSpace(mesh, P0FEM(2))
+    W = PowerSpace(P0, 2)
+    go0 = GridOperator(W, TwoPhaseCCFV(prm))
+    go1 = GridOperator(W, TwoPhaseStorage(prm))
+    osm = OneStepMethod(implicit_euler(), go0, go1, SEQ_BCGS_Jacobi(),
+                        pdesolver="newton", reduction=1e-10,
+                        max_iterations=40, min_linear_reduction=1e-5)
+    E = mesh.nelements
+    vol = hx * hx
+    x = jnp.concatenate([jnp.zeros(E), jnp.ones(E)])   # pc=1 -> S_l=0.5
+    t, dt = 0.0, 0.01
+
+    def masses(xv):
+        m = np.asarray(go1.residual_unconstrained(xv))
+        return float(m[:E].sum()), float(m[E:].sum())
+
+    ml0, mg0 = masses(x)
+    for step in range(3):
+        x = osm.apply(t, dt, x)
+        t += dt
+        ml, mg = masses(x)
+        assert ml - ml0 == pytest.approx((step + 1) * dt * Q * vol,
+                                         rel=1e-6), (step, ml - ml0)
+        assert mg - mg0 == pytest.approx(-(step + 1) * dt * Q * vol,
+                                         rel=1e-6), (step, mg - mg0)
+
+
 def test_twophase_storage_mass():
     """Storage term equals phi*rho*S*V per cell."""
     prm = TwoPhaseParameters(phi=0.25, pc_scale=2.0)
