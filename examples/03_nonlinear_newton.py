@@ -11,7 +11,13 @@ mixins).
 Run: python examples/03_nonlinear_newton.py
 """
 import numpy as np
-import jax.numpy as jnp
+import jax
+
+# a 1e-10 defect reduction is below the fp32 floor (~4e-7 relative on
+# this problem) — correctness demos run in fp64
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
 
 import dune_pdelab_tpu as pt
 from dune_pdelab_tpu.ops.base import LocalOperator
