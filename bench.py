@@ -34,8 +34,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _probe_devices(budget_s):
+    """Fail fast if the device backend cannot initialize.
+
+    The axon relay tunnel can be down for hours; when it is, jax backend
+    init hangs inside C++ (not interruptible by SIGALRM), so the probe
+    runs in a subprocess that can be killed. Returns the probed platform
+    string, or raises RuntimeError on timeout/failure.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device backend init did not complete within {budget_s}s "
+            "(axon tunnel down?) — refusing to hang; re-run when the "
+            "tunnel is up")
+    if r.returncode != 0:
+        raise RuntimeError(f"device probe failed: {r.stderr.strip()[-500:]}")
+    return r.stdout.strip()
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    probe_s = int(os.environ.get("BENCH_DEVICE_PROBE_S", "600"))
+    if probe_s > 0:
+        platform = _probe_devices(probe_s)
+        print(f"[bench] device platform: {platform}", file=sys.stderr,
+              flush=True)
     import dune_pdelab_tpu as pt
     from dune_pdelab_tpu.ops import (
         ConvectionDiffusionProblem, ConvectionDiffusionFEM,
