@@ -338,7 +338,8 @@ def _dg_half(log, cells=128):
     z = jnp.asarray(np.random.default_rng(0).standard_normal(N),
                     jnp.float32)
     best = (None, float("inf"))
-    for mode in os.environ.get("BENCH_DG_MODES", "mxu,mxu2").split(","):
+    for mode in os.environ.get("BENCH_DG_MODES",
+                               "mxu,mxu2,mxu3").split(","):
         mm = try_mm_block_stencil(st, mode=mode)
         if mm is None:
             continue

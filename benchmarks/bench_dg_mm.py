@@ -69,7 +69,7 @@ def main():
               f"{N/t_l/1e9:.2f} Gdof/s", file=sys.stderr, flush=True)
 
     bz = int(os.environ.get("DG_BZ", "8"))
-    modes = os.environ.get("DG_MODES", "vpu,mxu,mxu2").split(",")
+    modes = os.environ.get("DG_MODES", "vpu,mxu,mxu2,mxu3").split(",")
     for mode in modes:
         mm = try_mm_block_stencil(st, mode=mode, bz=bz)
         assert mm is not None

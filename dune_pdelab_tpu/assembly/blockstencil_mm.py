@@ -203,7 +203,8 @@ def build_mm_block_apply(cells, nb, W_taps, offsets, dD_sides,
 
 
 def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
-                        interpret=False, bz=8, seg_scratch=False):
+                        interpret=False, bz=8, seg_scratch=False,
+                        fold_dd=True):
     """MXU variant of the mode-major kernel: planes are stored FLAT as
     (nb, ny*nx) 2D tiles, so
 
@@ -230,13 +231,19 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
     for t, o in enumerate(offs):
         W[o] = np.asarray(W_taps[t], np.float64)
     # Wcat rows = output modes; columns grouped per segment: the 7 taps in
-    # `order`, then the 6 per-face diagonal corrections dD (applied to
-    # face-masked copies of the current plane) — the whole apply incl.
-    # boundary handling is ONE matmul, no post-kernel slice updates.
+    # `order`, then (fold_dd) the 6 per-face diagonal corrections dD
+    # (applied to face-masked copies of the current plane) — the whole
+    # apply incl. boundary handling is ONE matmul, no post-kernel slice
+    # updates. With fold_dd=False the dD corrections instead become
+    # O(surface) slice updates outside the kernel: the 6 face-masked
+    # segments are ~99% zeros yet cost full-plane VMEM stores, so dropping
+    # them cuts segment traffic ~45% and the matmul K from 13*nb to 7*nb.
     dD_np = np.asarray(dD_sides, np.float64)          # (3, 2, nb, nb)
+    nseg = 13 if fold_dd else 7
     Wcat = jnp.asarray(np.concatenate(
         [W[o] for o in order]
-        + [dD_np[d, s] for d in range(3) for s in (0, 1)], axis=1), f32)
+        + ([dD_np[d, s] for d in range(3) for s in (0, 1)]
+           if fold_dd else []), axis=1), f32)
 
     def slab_dma(z_hbm, raw, sems, zb, slot):
         copies = []
@@ -280,7 +287,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         zm = (zi > 0).astype(f32)        # z-1 exists (per plane of block)
         zp = (zi < nz - 1).astype(f32)
         def seg_exprs():
-            return [
+            segs = [
                 cur,
                 mxm * pltpu.roll(cur, 1, 2),
                 mxp * pltpu.roll(cur, L - 1, 2),
@@ -288,14 +295,18 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
                 myp * pltpu.roll(cur, L - nx, 2),
                 zm * prv,
                 zp * nxt,
-                # face-masked copies for the dD boundary corrections
-                (1.0 - mxm) * cur,
-                (1.0 - mxp) * cur,
-                (1.0 - mym) * cur,
-                (1.0 - myp) * cur,
-                (1.0 - zm) * cur,
-                (1.0 - zp) * cur,
             ]
+            if fold_dd:
+                # face-masked copies for the dD boundary corrections
+                segs += [
+                    (1.0 - mxm) * cur,
+                    (1.0 - mxp) * cur,
+                    (1.0 - mym) * cur,
+                    (1.0 - myp) * cur,
+                    (1.0 - zm) * cur,
+                    (1.0 - zp) * cur,
+                ]
+            return segs
 
         if seg_scratch:
             # store each segment straight into its scat slice — removes
@@ -319,7 +330,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         kernel,
         grid=(nzb,),
         in_specs=[
-            pl.BlockSpec((nb, 13 * nb), lambda zb: (0, 0),
+            pl.BlockSpec((nb, nseg * nb), lambda zb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -329,7 +340,7 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
         scratch_shapes=[
             pltpu.VMEM((2, bz + 2, nb, L), f32),
             pltpu.SemaphoreType.DMA((2, bz + 2)),
-        ] + ([pltpu.VMEM((bz, 13 * nb, L), f32)] if seg_scratch else []),
+        ] + ([pltpu.VMEM((bz, nseg * nb, L), f32)] if seg_scratch else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -342,10 +353,33 @@ def build_mm_flat_apply(cells, nb, W_taps, offsets, dD_sides,
     def from_mm(zmm, dtype=jnp.float32):
         return jnp.transpose(zmm, (0, 2, 3, 1)).reshape(-1).astype(dtype)
 
-    def apply_mm(zmm):
-        # boundary corrections ride the matmul (face-masked segments) —
-        # the kernel output is final
-        return call(Wcat, zmm.reshape(nz, nb, L)).reshape(nz, nb, ny, nx)
+    if fold_dd:
+        def apply_mm(zmm):
+            # boundary corrections ride the matmul (face-masked segments)
+            # — the kernel output is final
+            return call(Wcat, zmm.reshape(nz, nb, L)).reshape(
+                nz, nb, ny, nx)
+    else:
+        dD32 = np.asarray(dD_sides, np.float32)
+
+        def apply_mm(zmm):
+            # O(surface) dD corrections as in-place slice updates (XLA
+            # lowers .at[].add to in-place dynamic-update-slice here)
+            out = call(Wcat, zmm.reshape(nz, nb, L)).reshape(
+                nz, nb, ny, nx)
+            for side, xf in ((0, 0), (1, nx - 1)):
+                corr = jnp.einsum("ab,zby->zay", jnp.asarray(dD32[0, side]),
+                                  zmm[:, :, :, xf], precision="highest")
+                out = out.at[:, :, :, xf].add(corr)
+            for side, yf in ((0, 0), (1, ny - 1)):
+                corr = jnp.einsum("ab,zbx->zax", jnp.asarray(dD32[1, side]),
+                                  zmm[:, :, yf, :], precision="highest")
+                out = out.at[:, :, yf, :].add(corr)
+            for side, zf in ((0, 0), (1, nz - 1)):
+                corr = jnp.einsum("ab,byx->ayx", jnp.asarray(dD32[2, side]),
+                                  zmm[zf], precision="highest")
+                out = out.at[zf].add(corr)
+            return out
 
     @jax.jit
     def apply_flat(zflat):
@@ -523,8 +557,11 @@ def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):
     (apply_flat, apply_mm, to_mm, from_mm) or None if it does not qualify
     (3D, face-neighbor taps only, aligned planes, ring fits VMEM).
     mode='mxu' (the default used by LinearSolverBackend) is the
-    flat-plane matmul contraction; 'vreg' the register-resident tile
-    kernel; 'vpu' the per-tap shift-FMA variant."""
+    flat-plane matmul contraction; 'mxu2' stores segments directly to a
+    VMEM scratch (no concatenate pass); 'mxu3' additionally drops the six
+    face-masked dD segments from the matmul (K=7*nb instead of 13*nb) and
+    applies the corrections as O(surface) slice updates; 'vreg' the
+    register-resident tile kernel; 'vpu' the per-tap shift-FMA variant."""
     cells = block_op.cells
     if len(cells) != 3:
         return None
@@ -555,6 +592,11 @@ def try_mm_block_stencil(block_op, interpret=False, bz=8, mode="mxu"):
                                    block_op.offsets, block_op.dD_sides,
                                    interpret=interpret, bz=bz,
                                    seg_scratch=True)
+    if mode == "mxu3":   # 7-segment matmul + O(surface) dD slice updates
+        return build_mm_flat_apply(cells, nb, block_op.W_taps,
+                                   block_op.offsets, block_op.dD_sides,
+                                   interpret=interpret, bz=bz,
+                                   seg_scratch=True, fold_dd=False)
     build = build_mm_flat_apply if mode == "mxu" else build_mm_block_apply
     return build(cells, nb, block_op.W_taps, block_op.offsets,
                  block_op.dD_sides, interpret=interpret, bz=bz)

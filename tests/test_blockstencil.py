@@ -218,7 +218,7 @@ def test_block_ell_assembled_solve_matches_matrix_free():
     assert float(jnp.max(jnp.abs(out[True] - out[False]))) < 1e-8
 
 
-@pytest.mark.parametrize("mode", ["vpu", "mxu", "mxu2", "vreg"])
+@pytest.mark.parametrize("mode", ["vpu", "mxu", "mxu2", "mxu3", "vreg"])
 def test_mm_block_stencil_interpret_parity(mode):
     """Mode-major Pallas lowering (interpret mode): fp32 parity with the
     general apply for 3D Q1 DG, including all face corrections.
