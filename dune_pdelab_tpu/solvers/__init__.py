@@ -15,3 +15,7 @@ from dune_pdelab_tpu.solvers.utilities import (
 from dune_pdelab_tpu.solvers.direct import (
     DirectSolverBackend, SparseLU, SEQ_SuperLU, SEQ_UMFPack,
 )
+from dune_pdelab_tpu.solvers.differentiable import (
+    parametric_residual, implicit_solve, opaque_forward,
+    differentiable_stationary_solve,
+)
