@@ -7,3 +7,6 @@ from dune_pdelab_tpu.instationary.onestep import (
     OneStepGridOperator, OneStepMethod, ExplicitOneStepMethod, StageContext,
     TimeControllerInterface, CFLTimeController,
 )
+from dune_pdelab_tpu.instationary.differentiable import (
+    differentiable_theta_rollout,
+)
