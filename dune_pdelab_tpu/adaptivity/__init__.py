@@ -5,3 +5,4 @@ from dune_pdelab_tpu.adaptivity.adaptivity import (
 from dune_pdelab_tpu.adaptivity.dgindicator import (
     dg_jump_indicator, MinmodSlopeLimiter,
 )
+from dune_pdelab_tpu.adaptivity.dwr import dwr_indicators, space_transfer

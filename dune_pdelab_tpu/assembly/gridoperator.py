@@ -702,6 +702,68 @@ class GridOperator:
             r = face_scatter(r, g.tr_out, r_out)
         return r
 
+    def weighted_element_residuals(self, x, w, time=0.0):
+        """Per-element signed weighted residuals eta_K = r_K(x) . w_K.
+
+        The localization step of dual-weighted-residual (DWR) goal-oriented
+        error estimation: each element's volume/boundary/skeleton kernel
+        contribution is dotted with the weight w gathered on the same DOFs
+        instead of being scattered into the global residual, so
+        sum_K eta_K == w^T r(x) exactly. w is zeroed on constrained rows;
+        hanging-node constraints prolong both arguments (reference
+        adaptivity driver: dune/pdelab/adaptivity/adaptivity.hh, which has
+        only energy-norm estimators — the goal-oriented form has no
+        reference analog). Returns an (nelements,) array.
+        """
+        dtype = x.dtype
+        if self.cg is not None:
+            w = jnp.where(self.cg.mask, 0.0, w)
+            if self.cg.has_affine:
+                x = self.cg.prolong(x)
+                w = self.cg.prolong(w)
+        lop = self.lop.set_time(time)
+        eta = jnp.zeros(self.mesh.nelements, dtype)
+
+        def dots(r_loc, w_list):
+            tot = None
+            for rl, wl in zip(self._pack(r_loc), w_list):
+                d = jnp.sum(rl.astype(dtype) * wl, axis=tuple(
+                    range(1, rl.ndim)))
+                tot = d if tot is None else tot + d
+            return tot
+
+        u_leaf = [dm.gather(x) for dm in self.dof_maps]
+        w_leaf = [dm.gather(w) for dm in self.dof_maps]
+        vctx = self._volume_ctx(time, dtype)
+        if self.has["alpha_volume"]:
+            eta = eta + dots(lop.alpha_volume(vctx, self._uarg(u_leaf)),
+                             w_leaf)
+        if self.has["lambda_volume"]:
+            eta = eta + dots(lop.lambda_volume(vctx), w_leaf)
+        for g in self.bnd_groups:
+            fctx = self._face_ctx(g, time, dtype)
+            uf = [tr.gather(x) for tr in g.tr_in]
+            wf = [tr.gather(w) for tr in g.tr_in]
+            el = jnp.asarray(np.asarray(g.elements), jnp.int32)
+            if self.has["alpha_boundary"]:
+                eta = eta.at[el].add(
+                    dots(lop.alpha_boundary(fctx, self._uarg(uf)), wf))
+            if self.has["lambda_boundary"]:
+                eta = eta.at[el].add(dots(lop.lambda_boundary(fctx), wf))
+        for g in self.skel_groups:
+            sctx = self._skel_ctx(g, time, dtype)
+            ui = [tr.gather(x) for tr in g.tr_in]
+            uo = [tr.gather(x) for tr in g.tr_out]
+            wi = [tr.gather(w) for tr in g.tr_in]
+            wo = [tr.gather(w) for tr in g.tr_out]
+            r_in, r_out = lop.alpha_skeleton(sctx, self._uarg(ui),
+                                             self._uarg(uo))
+            eta = eta.at[jnp.asarray(np.asarray(g.elements),
+                                     jnp.int32)].add(dots(r_in, wi))
+            eta = eta.at[jnp.asarray(np.asarray(g.outside),
+                                     jnp.int32)].add(dots(r_out, wo))
+        return eta
+
     def _residual_with_mask(self, x, time):
         # hanging nodes: r = P^T R(P x) (the etadd triple product as vector
         # ops, reference: gridoperator/common/assemblerutilities.hh:501-586)
