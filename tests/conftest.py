@@ -62,6 +62,17 @@ _SLOW_OVERRIDES = (
     "test_dg_slip_walls_plug_flow_exact",                  # 2x ~18s
     "test_geneo_sparse_fallback_on_simplex",               # 26s
     "test_variable_viscosity_callable_mu",                 # 6s
+    # differentiable-solve suite: keep the two FD-parity oracles
+    # (linear_adjoint_vs_fd, rollout_gradient_vs_fd) + the DWR tests in
+    # the gate; demote the rest to hold the gate under 5 min
+    "test_theta_dependent_dirichlet_data",                 # 21s
+    "test_opaque_newton_forward_gradient",                 # 14s
+    "test_rollout_checkpointed_and_jitted",                # 9s
+    "test_gradient_composes_with_jit",                     # 7s
+    "test_rollout_matches_onestep_driver",                 # 7s
+    "test_vmap_parameter_sweep",                           # 59s
+    "test_rollout_gradient_vs_fd",                         # 13s
+    "test_dwr_effectivity_mean_value_goal",                # 9s
 )
 
 
