@@ -52,7 +52,46 @@ class SimplexMesh:
         mesh (tets win when both appear — the triangles are then boundary
         facets). Physical tags are kept: `cell_tags` (E,) per cell, and
         `facet_tags` maps a sorted boundary-facet vertex tuple to its
-        physical id (for region-wise boundary conditions)."""
+        physical id (for region-wise boundary conditions).
+
+        Parsing runs through the native C++ reader (io/native/
+        msh_reader.cc) when the toolchain is available — identical output
+        arrays, ~order-of-magnitude faster on large meshes — and falls
+        back to the pure-Python parser below otherwise."""
+        parsed = None
+        try:
+            from dune_pdelab_tpu.io import msh_native
+            if msh_native.available():
+                parsed = msh_native.parse_msh(path)
+        except Exception:
+            parsed = None
+        if parsed is None:
+            parsed = cls._parse_msh_py(path)
+        coords, tris, tritags, tets, tettags, lines2, linetags = parsed
+        if len(tets):
+            dim, cells, ctags = 3, np.asarray(tets), np.asarray(tettags)
+            facets, ftags = np.asarray(tris), np.asarray(tritags)
+        elif len(tris):
+            dim, cells, ctags = 2, np.asarray(tris), np.asarray(tritags)
+            facets, ftags = np.asarray(lines2), np.asarray(linetags)
+        else:
+            raise ValueError(f"no triangles or tetrahedra in {path}")
+        verts = coords[:, :dim]
+        m = cls(verts, cells)
+        m._positively_oriented()
+        uniq_f, _, counts = m.faces()
+        vb = np.zeros(m.nvertices, dtype=bool)
+        vb[uniq_f[counts == 1].ravel()] = True
+        m._boundary_vertices = vb
+        m.cell_tags = ctags
+        m.facet_tags = {tuple(sorted(int(v) for v in fv)): int(t)
+                        for fv, t in zip(facets, ftags)}
+        return m
+
+    @staticmethod
+    def _parse_msh_py(path):
+        """Pure-Python MSH 2.x parser (fallback; same output tuple as
+        io/msh_native.parse_msh)."""
         with open(path) as f:
             lines = f.read().split("\n")
         i = 0
@@ -95,25 +134,13 @@ class SimplexMesh:
                 tets.append(nodes); tettags.append(tag)
             elif etype == 1:
                 lines2.append(nodes); linetags.append(tag)
-        if tets:
-            dim, cells, ctags = 3, np.asarray(tets), np.asarray(tettags)
-            facets, ftags = tris, tritags
-        elif tris:
-            dim, cells, ctags = 2, np.asarray(tris), np.asarray(tritags)
-            facets, ftags = lines2, linetags
-        else:
-            raise ValueError(f"no triangles or tetrahedra in {path}")
-        verts = coords[:, :dim]
-        m = cls(verts, cells)
-        m._positively_oriented()
-        uniq_f, _, counts = m.faces()
-        vb = np.zeros(m.nvertices, dtype=bool)
-        vb[uniq_f[counts == 1].ravel()] = True
-        m._boundary_vertices = vb
-        m.cell_tags = ctags
-        m.facet_tags = {tuple(sorted(fv)): t
-                        for fv, t in zip(facets, ftags)}
-        return m
+        return (coords,
+                np.asarray(tris, np.int64).reshape(-1, 3),
+                np.asarray(tritags, np.int64),
+                np.asarray(tets, np.int64).reshape(-1, 4),
+                np.asarray(tettags, np.int64),
+                np.asarray(lines2, np.int64).reshape(-1, 2),
+                np.asarray(linetags, np.int64))
 
     @classmethod
     def from_structured(cls, smesh):

@@ -123,3 +123,21 @@ def test_msh_reads_reference_grid():
                       constraints=constraints(True, V))
     r = go.residual(V.zero())
     assert np.isfinite(np.asarray(r)).all()
+
+
+def test_native_parser_matches_python():
+    """The C++ MSH parser (io/native/msh_reader.cc) produces arrays
+    identical to the pure-Python fallback on all reference grids."""
+    import numpy as np
+    from dune_pdelab_tpu.io import msh_native
+
+    if not msh_native.available():
+        pytest.skip("no native toolchain")
+    for p in (REF_MSH,
+              REF_MSH.replace("circ_in_rect", "ldomain"),
+              REF_MSH.replace("circ_in_rect", "cube1045")):
+        a = msh_native.parse_msh(p)
+        b = SimplexMesh._parse_msh_py(p)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x),
+                                  np.asarray(y).reshape(np.shape(x))), p
