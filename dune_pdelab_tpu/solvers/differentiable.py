@@ -29,8 +29,6 @@ Forward solvers:
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

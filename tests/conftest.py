@@ -73,6 +73,10 @@ _SLOW_OVERRIDES = (
     "test_vmap_parameter_sweep",                           # 59s
     "test_rollout_gradient_vs_fd",                         # 13s
     "test_dwr_effectivity_mean_value_goal",                # 9s
+    "test_localization_identity_dg_skeleton",              # 9s
+    # study-only mm lowerings (production modes mxu/mxu2/mxu3 stay)
+    "test_mm_block_stencil_interpret_parity[vpu]",         # 14s
+    "test_mm_block_stencil_interpret_parity[vreg]",        # 12s
 )
 
 
