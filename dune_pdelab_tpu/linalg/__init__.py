@@ -7,3 +7,4 @@ from dune_pdelab_tpu.linalg.geneo import (
     GenEOPreconditioner, GenEOLatticePreconditioner, geneo_preconditioner_for,
 )
 from dune_pdelab_tpu.linalg.dgmultigrid import DGTwoLevel
+from dune_pdelab_tpu.linalg.eigen import lobpcg, EigenResult

@@ -77,6 +77,8 @@ _SLOW_OVERRIDES = (
     # study-only mm lowerings (production modes mxu/mxu2/mxu3 stay)
     "test_mm_block_stencil_interpret_parity[vpu]",         # 14s
     "test_mm_block_stencil_interpret_parity[vreg]",        # 12s
+    "test_lobpcg_matches_dense_generalized",               # 26s
+    "test_lobpcg_dirichlet_laplacian_spectrum",            # 10s
 )
 
 
