@@ -79,6 +79,7 @@ _SLOW_OVERRIDES = (
     "test_mm_block_stencil_interpret_parity[vreg]",        # 12s
     "test_lobpcg_matches_dense_generalized",               # 26s
     "test_lobpcg_dirichlet_laplacian_spectrum",            # 10s
+    "test_stokes_viscosity_gradient",                      # 57s
 )
 
 

@@ -197,3 +197,57 @@ def test_vmap_parameter_sweep():
     g = jax.vmap(gfun)(thetas)
     g_ref = jnp.stack([gfun(t) for t in thetas])
     assert float(jnp.max(jnp.abs(g - g_ref))) < 1e-13
+
+
+def test_stokes_viscosity_gradient():
+    """Composite-space adjoint: grad of a velocity functional of a
+    Taylor-Hood Stokes solve w.r.t. a spatially varying viscosity
+    mu(x) = theta0 + theta1*x matches directional FD (symmetric
+    indefinite adjoint solved by GMRES on the free block)."""
+    from dune_pdelab_tpu.ops.stokes import (
+        NavierStokesParameters, TaylorHoodNavierStokes,
+    )
+    from dune_pdelab_tpu.solvers.stokes import (
+        taylor_hood_space, stokes_constraints,
+    )
+    from dune_pdelab_tpu.linalg.krylov import restarted_gmres
+
+    mesh = pt.StructuredMesh([0, 0], [1, 1], (5, 5))
+    W = taylor_hood_space(mesh, degree=2)
+    cons = stokes_constraints(W, bctype=True, pin_pressure=True)
+
+    class Cavity(NavierStokesParameters):
+        def f(self, x):
+            fx = jnp.sin(np.pi * x[..., 0]) * jnp.cos(np.pi * x[..., 1])
+            return jnp.stack([fx, -fx], axis=-1)
+
+    def factory(theta):
+        return TaylorHoodNavierStokes(Cavity(
+            mu=lambda x: theta[0] + theta[1] * x[..., 0], rho=0.0))
+
+    R = parametric_residual(W, factory, constraints=cons)
+
+    def forward(theta):
+        go = pt.GridOperator(W, factory(theta), constraints=cons)
+        x0 = W.zero()
+        z, _ = restarted_gmres(lambda p: go.jacobian_apply(x0, p),
+                               go.residual(x0), tol=1e-12, restart=200,
+                               maxiter=5000)
+        return x0 - z
+
+    f = implicit_solve(R, forward, constraints=cons,
+                       adjoint_solver="gmres", adjoint_tol=1e-12,
+                       adjoint_maxiter=5000)
+
+    def loss(theta):
+        x = f(theta)
+        return jnp.sum(W.restrict(x, 0) ** 2)
+
+    theta0 = jnp.array([1.0, 0.5])
+    g_ad = np.asarray(jax.grad(loss)(theta0))
+    v = np.asarray([0.7, -0.4])
+    eps = 1e-6
+    fd = (float(loss(theta0 + eps * v)) - float(loss(theta0 - eps * v))) \
+        / (2 * eps)
+    ad = float(np.dot(g_ad, v))
+    assert abs(fd - ad) / max(1e-14, abs(fd)) < 1e-5, (fd, ad, g_ad)
