@@ -98,6 +98,28 @@ class BlockStencilOperator:
     def __call__(self, z):
         return self._apply(z)
 
+    def diagonal(self, dtype=None):
+        """Exact operator diagonal, assembled from the tap data alone:
+        diag(W0) per element plus the per-side dD boundary diagonals —
+        O(nb) host data, so the jit ships no element-sized constants
+        (unlike probing via go.jacobian_diagonal, whose scatter maps
+        exceed remote-compile request limits at ~1M elements)."""
+        dim = len(self.cells)
+        t0 = int(np.nonzero(~np.any(self.offsets, axis=1))[0][0])
+        d0 = np.diag(self.W_taps[t0]).copy()            # (nb,)
+        grid_rev = tuple(reversed(self.cells))
+        dt = jnp.dtype(dtype or jnp.float32)
+        diag = jnp.broadcast_to(jnp.asarray(d0, dt),
+                                grid_rev + (self.nb,))
+        for d in range(dim):
+            ax = dim - 1 - d
+            for side in (0, 1):
+                sl = [slice(None)] * (dim + 1)
+                sl[ax] = slice(0, 1) if side == 0 else slice(-1, None)
+                corr = jnp.asarray(np.diag(self.dD_sides[d, side]), dt)
+                diag = diag.at[tuple(sl)].add(corr)
+        return diag.reshape(-1)
+
 
 def _dg_layout_ok(space):
     fem = space.fem

@@ -91,6 +91,31 @@ class StencilOperator:
     def __call__(self, z):
         return self._apply(z)
 
+    def diagonal(self, dtype=None):
+        """Exact operator diagonal from the stencil data alone: the
+        zero-offset tap weight per residue class; identity (1.0) on masked
+        (constrained) rows. No element-sized constants enter the jit —
+        unlike the probing go.jacobian_diagonal path, whose scatter maps
+        exceed remote-compile request limits at large N."""
+        dim = len(self.dims)
+        k = self.k
+        t0 = int(np.nonzero(~np.any(self.offsets, axis=1))[0][0])
+        dt = jnp.dtype(dtype or jnp.float32)
+        if self.weights.shape[0] == 1:
+            diag = jnp.full(tuple(reversed(self.dims)),
+                            float(self.weights[0][t0]), dt)
+        else:
+            diag = jnp.zeros(tuple(reversed(self.dims)), dt)
+            for ci, cls in enumerate(
+                    itertools.product(*[range(k)] * dim)):
+                sl = tuple(slice(cls[d], None, k)
+                           for d in reversed(range(dim)))
+                diag = diag.at[sl].set(float(self.weights[ci][t0]))
+        diag = diag.reshape(-1)
+        if self.mask is not None:
+            diag = jnp.where(self.mask, jnp.asarray(1.0, dt), diag)
+        return diag
+
 
 def compile_stencil(go, x_lin=None, time=0.0, check=True):
     """Build a StencilOperator equivalent to go.jacobian_apply(x_lin, . ).

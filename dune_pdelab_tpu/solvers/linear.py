@@ -59,6 +59,7 @@ class LinearSolverBackend:
     def _stencil_for(self, go, x_lin, time):
         key = (id(go), "stencil")
         if key not in self._setup_cache:
+            okey = (id(go), "stencil_origin")
             from dune_pdelab_tpu.assembly.stencil import compile_stencil
             try:
                 st = compile_stencil(go, x_lin, time)
@@ -76,16 +77,18 @@ class LinearSolverBackend:
                 except Exception:
                     st = None
                 if st is not None:
+                    self._setup_cache[okey] = st
                     import jax
                     if jax.default_backend() not in ("cpu",):
-                        # prefer the mode-major MXU kernel (2.4 Gdof/s
-                        # mm-resident, exact) over the lane-roll lowering
-                        # (1.2 Gdof/s); solves run mm-resident when the
-                        # preconditioner is layout-agnostic
+                        # prefer the mode-major MXU kernel (mxu2:
+                        # 4.8 Gdof/s mm-resident, exact) over the
+                        # lane-roll lowering (1.2 Gdof/s); solves run
+                        # mm-resident when the preconditioner is
+                        # layout-agnostic
                         try:
                             from dune_pdelab_tpu.assembly.blockstencil_mm \
                                 import try_mm_block_stencil, MMBlockStencil
-                            mm = try_mm_block_stencil(st, mode="mxu")
+                            mm = try_mm_block_stencil(st, mode="mxu2")
                         except Exception:
                             mm = None
                         if mm is not None:
@@ -100,6 +103,8 @@ blockstencil_pallas import try_pallas_block_stencil
                             except Exception:
                                 pass
             if st is not None:
+                if okey not in self._setup_cache:
+                    self._setup_cache[okey] = st
                 # prefer the Pallas tiled lowering (single HBM pass per
                 # apply) on real TPU devices when the grid qualifies
                 import jax
@@ -125,7 +130,17 @@ blockstencil_pallas import try_pallas_block_stencil
                 reuse or getattr(go.lop, "is_linear", False)):
             return self._setup_cache[key]
         setup = {}
-        diag = go.jacobian_diagonal(x_lin, time)
+        # stencil-derived diagonal when a compiled (block-)stencil exists:
+        # exact by the compilers' whole-domain parity check, and its jit
+        # carries no element-sized constants (the probing jacobian_diagonal
+        # ships multi-10MB scatter maps — too large for remote compile at
+        # ~1M+ elements)
+        origin = self._setup_cache.get((id(go), "stencil_origin"))
+        if (p in ("jacobi", "chebyshev") and origin is not None
+                and hasattr(origin, "diagonal")):
+            diag = origin.diagonal(dtype=jnp.result_type(float))
+        else:
+            diag = go.jacobian_diagonal(x_lin, time)
         if p == "jacobi":
             setup = {"diag": diag}
         elif p == "block_jacobi":

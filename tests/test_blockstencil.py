@@ -295,3 +295,19 @@ def test_mm_resident_solver_path():
         int(s1.iterations), int(s2.iterations))
     rel = float(jnp.linalg.norm(z1 - z2) / jnp.linalg.norm(z2))
     assert rel < 1e-4, rel
+
+
+def test_block_stencil_diagonal_matches_probed():
+    """BlockStencilOperator.diagonal (diag of the zero-offset tap plus the
+    per-side dD boundary diagonals) equals go.jacobian_diagonal exactly —
+    it feeds the Jacobi/Chebyshev setup without the probing jit whose
+    scatter maps exceed remote-compile limits at 128^3 DG."""
+    for dim, cells in [(2, (6, 5)), (3, (6, 6, 6))]:
+        mesh = StructuredMesh([0] * dim, [1] * dim, cells)
+        V = FunctionSpace(mesh, QkDGFEM(1, dim))
+        go = GridOperator(V, ConvectionDiffusionDG(Diff()))
+        st = compile_block_stencil(go)
+        assert st is not None, dim
+        d1 = np.asarray(st.diagonal(dtype=jnp.result_type(float)))
+        d2 = np.asarray(go.jacobian_diagonal(V.zero()))
+        assert np.allclose(d1, d2, atol=1e-12), dim

@@ -102,3 +102,23 @@ def test_pallas_tiled_stencil_matches_interpret():
     y1 = st(z).astype(jnp.float32)
     y2 = pal(z)
     assert float(jnp.linalg.norm(y1 - y2)) < 1e-4 * float(jnp.linalg.norm(y1))
+
+
+def test_stencil_diagonal_matches_probed():
+    """StencilOperator.diagonal (the tap-derived Jacobi diagonal used by
+    LinearSolverBackend to avoid probing — whose jit ships element-sized
+    scatter maps, too large for remote compile at ~1M+ elements) equals
+    go.jacobian_diagonal exactly, incl. residue classes (Q2) and the
+    identity rows of the constraint mask."""
+    for dim, deg, cells in [(2, 1, (8, 8)), (2, 2, (7, 6)),
+                            (3, 1, (6, 6, 6))]:
+        mesh = StructuredMesh([0] * dim, [1] * dim, cells)
+        V = FunctionSpace(mesh, QkFEM(deg, dim))
+        cg_ = constraints(True, V)
+        go = GridOperator(V, ConvectionDiffusionFEM(ConstCoeff()),
+                          constraints=cg_)
+        st = compile_stencil(go)
+        assert st is not None, (dim, deg)
+        d1 = np.asarray(st.diagonal(dtype=jnp.result_type(float)))
+        d2 = np.asarray(go.jacobian_diagonal(V.zero()))
+        assert np.allclose(d1, d2, atol=1e-12), (dim, deg)
