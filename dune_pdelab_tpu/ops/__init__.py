@@ -21,6 +21,7 @@ from dune_pdelab_tpu.ops.diffusionmixed import DiffusionMixed
 from dune_pdelab_tpu.ops.electrodynamic import CurlCurl, CurlCurlParameters
 from dune_pdelab_tpu.ops.twophase import (
     TwoPhaseParameters, TwoPhaseCCFV, TwoPhaseStorage,
+    BrooksCoreyParameters, VanGenuchtenParameters, TwoPhaseVelocity,
 )
 from dune_pdelab_tpu.ops.dgnavierstokes import DGNavierStokes
 from dune_pdelab_tpu.ops.darcy import (
