@@ -31,7 +31,7 @@ class DGNavierStokes(LocalOperator):
 
     def __init__(self, params: NavierStokesParameters, penalty: float = 4.0,
                  theta: float = 1.0, navier: bool | None = None,
-                 tensor_form: bool = False):
+                 tensor_form: bool = False, incomp_scaling: float = 1.0):
         self.params = params
         self.penalty = penalty
         self.theta = theta
@@ -40,6 +40,11 @@ class DGNavierStokes(LocalOperator):
         # full stress sigma = mu (grad u + grad u^T) instead of mu grad u
         # (the reference's full_tensor switch, dgnavierstokes.hh)
         self.tensor_form = tensor_form
+        # rescale the continuity-equation rows (reference:
+        # dgnavierstokesparameter.hh:108 incompressibilityScaling — the
+        # instationary drivers there pass 1/dt to keep the saddle-point
+        # blocks balanced against the dt-weighted momentum rows)
+        self.incomp_scaling = incomp_scaling
 
     def set_time(self, t):
         new = copy.copy(self)
@@ -67,7 +72,8 @@ class DGNavierStokes(LocalOperator):
                 rc = rc + self.accumulate_value(tab_v, ctx.factor, rho * conv)
             r.append(rc)
         div = sum(gv[c][..., c] for c in range(dim))
-        r.append(-self.accumulate_value(tab_p, ctx.factor, div))
+        r.append(-self.incomp_scaling
+                 * self.accumulate_value(tab_p, ctx.factor, div))
         return tuple(r)
 
     def lambda_volume(self, ctx: VolumeContext):
@@ -144,7 +150,7 @@ class DGNavierStokes(LocalOperator):
             r_out.append(ro)
         # continuity coupling: b(u, q) face part +∫ {q} [u·n] (the pairing
         # that makes the formulation adjoint-consistent -> optimal L2 order)
-        wq = 0.5 * un_jump
+        wq = self.incomp_scaling * 0.5 * un_jump
         r_in.append(acc_i(tin_p, wq))
         r_out.append(acc_o(tout_p, wq))
         return tuple(r_in), tuple(r_out)
@@ -208,7 +214,8 @@ class DGNavierStokes(LocalOperator):
                     (jnp.where(sel, -self.theta * mu * vi[c], 0.0)
                      + w_slip_adj * n[c]) * ctx.factor)
             r.append(rc)
-        r.append(acc(tab_p, jnp.where(selp, un, 0.0)))
+        r.append(acc(tab_p,
+                     self.incomp_scaling * jnp.where(selp, un, 0.0)))
         return tuple(r)
 
     def lambda_boundary(self, ctx: FaceContext):
@@ -261,5 +268,6 @@ class DGNavierStokes(LocalOperator):
                     (jnp.where(sel, self.theta * mu * g[..., c], 0.0)
                      + w_slip_adj * n[c]) * ctx.factor)
             r.append(rc)
-        r.append(acc(tab_p, jnp.where(selp, -gn, 0.0)))
+        r.append(acc(tab_p,
+                     self.incomp_scaling * jnp.where(selp, -gn, 0.0)))
         return tuple(r)

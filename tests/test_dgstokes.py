@@ -109,3 +109,39 @@ def test_dg_stokes_tensor_form_converges():
     a = float(jnp.vdot(w, go.jacobian_apply(W.zero(), z)))
     b = float(jnp.vdot(z, go.jacobian_apply(W.zero(), w)))
     assert abs(a - b) < 1e-9 * max(1.0, abs(a)), (a, b)
+
+
+def test_dg_stokes_incompressibility_scaling():
+    """incomp_scaling multiplies exactly the continuity-equation rows
+    (reference: dgnavierstokesparameter.hh:108 incompressibilityScaling,
+    applied at dgnavierstokes.hh:129,413,813) and leaves the solution of
+    the rescaled system unchanged."""
+    mesh = StructuredMesh([0, 0], [1, 1], (4, 4))
+    W = _dg_stokes_space(mesh)
+    prm = ManufacturedStokes()
+    s = 7.5
+    go1 = GridOperator(W, DGNavierStokes(prm), constraints=_pin_pressure(W))
+    gos = GridOperator(W, DGNavierStokes(prm, incomp_scaling=s),
+                       constraints=_pin_pressure(W))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(W.ndofs))
+    r1 = np.asarray(go1.residual_unconstrained(x))
+    rs = np.asarray(gos.residual_unconstrained(x))
+    np_idx = np.zeros(W.ndofs, bool)
+    import numpy as _np
+    np_idx[_np.asarray(W.child_global(1, _np.arange(
+        W.children[1].ndofs)))] = True
+    # velocity (momentum) rows identical; pressure (continuity) rows x s
+    assert np.allclose(rs[~np_idx], r1[~np_idx], rtol=1e-12, atol=1e-12)
+    assert np.allclose(rs[np_idx], s * r1[np_idx], rtol=1e-12, atol=1e-12)
+    # the solution is invariant under the row rescaling
+    ls = LinearSolverBackend(solver="gmres", precond="block_jacobi",
+                             restart=150, maxiter=40000)
+    x1 = StationaryLinearProblemSolver(go1, ls, reduction=1e-10,
+                                       verbose=0).apply(W.zero())
+    ls2 = LinearSolverBackend(solver="gmres", precond="block_jacobi",
+                              restart=150, maxiter=40000)
+    xs = StationaryLinearProblemSolver(gos, ls2, reduction=1e-10,
+                                       verbose=0).apply(W.zero())
+    assert float(jnp.linalg.norm(x1 - xs)) < 1e-6 * float(
+        jnp.linalg.norm(x1)), float(jnp.linalg.norm(x1 - xs))
