@@ -568,13 +568,21 @@ class WindowShardedGridOperator:
 
     # ---- padded-sharded API -------------------------------------------------
     def residual_unconstrained_padded(self, xp, time=0.0):
-        fn = jax.shard_map(
-            lambda x, ops: self._local_residual(x, ops, time),
-            mesh=self.device_mesh,
-            in_specs=(P(self.axis_name), P(self.axis_name)),
-            out_specs=P(self.axis_name),
-        )
-        return fn(xp, self._ops_operand())
+        # jit the whole sharded residual: an eager shard_map executes (and
+        # compiles) primitive-by-primitive, which stalls on kernels with
+        # many small ops (observed: the CCFV family never finished its
+        # first eager apply). time travels as a replicated operand so one
+        # compilation serves every linearization point / time step.
+        if not hasattr(self, "_rup_jit"):
+            sm = jax.shard_map(
+                lambda x, t, ops: self._local_residual(x, ops, t),
+                mesh=self.device_mesh,
+                in_specs=(P(self.axis_name), P(), P(self.axis_name)),
+                out_specs=P(self.axis_name),
+            )
+            self._rup_jit = jax.jit(sm)
+        return self._rup_jit(xp, jnp.asarray(time, xp.dtype),
+                             self._ops_operand())
 
     def residual_padded(self, xp, time=0.0):
         r = self.residual_unconstrained_padded(xp, time)
@@ -605,9 +613,21 @@ class WindowShardedGridOperator:
     def residual(self, x, time=0.0):
         return self.residual_padded(self._pad_traced(x), time)[self._pi_jnp()]
 
+    def residual_unconstrained(self, x, time=0.0):
+        """Flat unmasked residual — the duck-type the OneStepGridOperator
+        stage machinery combines (instationary/onestep.py), so windowed
+        operators drive distributed time integration directly."""
+        return self.residual_unconstrained_padded(
+            self._pad_traced(x), time)[self._pi_jnp()]
+
     def jacobian_apply(self, x, z, time=0.0):
         return self.jacobian_apply_padded(
             self._pad_traced(x), self._pad_traced(z), time)[self._pi_jnp()]
+
+    def jacobian_diagonal(self, x, time=0.0):
+        """Delegates to the sequential probe (per linearization point
+        only — preconditioner setup, not the iteration hot path)."""
+        return self.go.jacobian_diagonal(x, time)
 
     def _pi_jnp(self):
         return self._pi_dev
