@@ -433,6 +433,56 @@ def config10_stokes_outflow(cells=6, reduction=1e-11):
             "ndofs": W.ndofs, "converged": slp.result.converged}
 
 
+def config11_twophase_displacement(cells=24, tend=0.008):
+    """(11) Two-phase immiscible displacement (twophaseccfv.hh analog):
+    sigmoid capillary closure, Dirichlet inflow/outflow, implicit Euler +
+    Newton with failed-step dt halving. Golden pins the endpoint
+    saturations of the front, the total Newton iteration count, and the
+    failed-step count — together they freeze the upwind/havg flux scheme,
+    the inside-mobility boundary treatment, and the dt-control semantics."""
+    from dune_pdelab_tpu import StructuredMesh, FunctionSpace, GridOperator
+    from dune_pdelab_tpu.fe import P0FEM
+    from dune_pdelab_tpu.space.space import PowerSpace
+    from dune_pdelab_tpu.ops.twophase import (
+        TwoPhaseParameters, TwoPhaseCCFV, TwoPhaseStorage,
+    )
+    from dune_pdelab_tpu.instationary import OneStepMethod, implicit_euler
+    from dune_pdelab_tpu.solvers import SEQ_BCGS_Jacobi
+
+    class Displacement(TwoPhaseParameters):
+        def is_dirichlet(self, x):
+            return (x[..., 0] < 1e-9) | (x[..., 0] > 1 - 1e-9)
+
+        def g_l(self, x):
+            return jnp.where(x[..., 0] < 0.5, 2.0, 0.0)
+
+        def g_g(self, x):
+            return jnp.where(x[..., 0] < 0.5, 1.5, 1.5)
+
+    prm = Displacement(phi=0.2, K=1.0, mu_l=1.0, mu_g=0.2, pc_scale=1.0)
+    mesh = StructuredMesh([0, 0], [1, 0.25], (cells, 2))
+    W = PowerSpace(FunctionSpace(mesh, P0FEM(2)), 2)
+    go0 = GridOperator(W, TwoPhaseCCFV(prm))
+    go1 = GridOperator(W, TwoPhaseStorage(prm))
+    osm = OneStepMethod(implicit_euler(), go0, go1, SEQ_BCGS_Jacobi(),
+                        pdesolver="newton", reduction=1e-7,
+                        max_iterations=40, min_linear_reduction=1e-4)
+    E = mesh.nelements
+    x = jnp.concatenate([jnp.zeros(E), jnp.full(E, 0.5)])
+    t, x = osm.solve(0.0, 1e-3, tend, x, max_step_retries=4)
+    pl = np.asarray(W.restrict(x, 0))
+    pg = np.asarray(W.restrict(x, 1))
+    s_l = 1.0 / (1.0 + np.exp(-4.0 * (0.5 - (pg - pl))))
+    centers = mesh.element_centers()
+    row = np.isclose(centers[:, 1], centers[0, 1])
+    order = np.argsort(centers[row][:, 0])
+    s_row = s_l[row][order]
+    return {"s_inlet": float(s_row[0]), "s_outlet": float(s_row[-1]),
+            "newton_iterations": osm.result.total_newton_iterations,
+            "failed_steps": osm.result.failed_steps,
+            "ndofs": W.ndofs, "t_final": float(t)}
+
+
 ALL_CONFIGS = {
     "config1": config1_poisson_2d_mf,
     "config2": config2_poisson_3d_gmg,
@@ -444,4 +494,5 @@ ALL_CONFIGS = {
     "config8": config8_windowed_sharded,
     "config9": config9_assembled_ilu,
     "config10": config10_stokes_outflow,
+    "config11": config11_twophase_displacement,
 }

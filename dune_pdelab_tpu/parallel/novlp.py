@@ -223,13 +223,18 @@ class NonoverlappingShardedGridOperator(ShardedContextMixin):
 
     # -- padded-sharded API (for use inside Krylov loops) --------------------
     def residual_unconstrained_padded(self, xp, time=0.0):
-        fn = jax.shard_map(
-            lambda x, sh: self._local_residual(x, sh, time),
-            mesh=self.device_mesh,
-            in_specs=(P(self.axis_name), P(self.axis_name)),
-            out_specs=P(self.axis_name),
-        )
-        return fn(xp, self._sh)
+        # jitted once with time as a replicated operand: an eager
+        # shard_map executes (and compiles) primitive-by-primitive — see
+        # parallel/windowed.py residual_unconstrained_padded
+        if not hasattr(self, "_rup_jit"):
+            sm = jax.shard_map(
+                lambda x, t, sh: self._local_residual(x, sh, t),
+                mesh=self.device_mesh,
+                in_specs=(P(self.axis_name), P(), P(self.axis_name)),
+                out_specs=P(self.axis_name),
+            )
+            self._rup_jit = jax.jit(sm)
+        return self._rup_jit(xp, jnp.asarray(time, xp.dtype), self._sh)
 
     def residual_padded(self, xp, time=0.0):
         r = self.residual_unconstrained_padded(xp, time)

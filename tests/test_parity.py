@@ -21,7 +21,8 @@ from dune_pdelab_tpu.models import configs
 GOLDEN = json.loads(
     (pathlib.Path(__file__).parent / "golden_parity.json").read_text())
 
-_ITER_KEYS = ("iterations", "newton_iterations", "levels", "ndevices")
+_ITER_KEYS = ("iterations", "newton_iterations", "levels", "ndevices",
+              "failed_steps")
 _CONFIGS = {
     "config1_poisson_2d_mf": configs.config1_poisson_2d_mf,
     "config2_poisson_3d_gmg": configs.config2_poisson_3d_gmg,
@@ -33,6 +34,8 @@ _CONFIGS = {
     "config8_windowed_sharded": configs.config8_windowed_sharded,
     "config9_assembled_ilu": configs.config9_assembled_ilu,
     "config10_stokes_outflow": configs.config10_stokes_outflow,
+    "config11_twophase_displacement":
+        configs.config11_twophase_displacement,
 }
 
 

@@ -48,6 +48,8 @@ def main():
         ("config8_windowed_sharded", configs.config8_windowed_sharded, {}),
         ("config9_assembled_ilu", configs.config9_assembled_ilu, {}),
         ("config10_stokes_outflow", configs.config10_stokes_outflow, {}),
+        ("config11_twophase_displacement",
+         configs.config11_twophase_displacement, {}),
     ]:
         if only and name not in only:
             continue
