@@ -7,4 +7,5 @@ from dune_pdelab_tpu.linalg.geneo import (
     GenEOPreconditioner, GenEOLatticePreconditioner, geneo_preconditioner_for,
 )
 from dune_pdelab_tpu.linalg.dgmultigrid import DGTwoLevel
+from dune_pdelab_tpu.linalg.amg import AlgebraicMultigrid
 from dune_pdelab_tpu.linalg.eigen import lobpcg, EigenResult

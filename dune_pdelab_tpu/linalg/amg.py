@@ -1,0 +1,321 @@
+"""Algebraic multigrid (smoothed aggregation) for general assembled operators.
+
+The reference reaches AMG through dune-istl's aggregation AMG
+(`Dune::Amg::AMG`), preassembled into backends like
+ISTLBackend_SEQ_CG_AMG_SSOR (reference:
+dune/pdelab/backend/istl/seqistlsolverbackend.hh:829-1060) and the
+parallel/DG variants (ovlpistlsolverbackend.hh, seq_amg_dg_backend.hh:146).
+That AMG works on ANY assembled sparse matrix — simplex, adaptive,
+unstructured — where this framework's GeometricMultigrid (structured
+lattices) and DG two-level (DG spaces) do not apply.
+
+TPU-native split of the classic smoothed-aggregation algorithm
+(Vanek/Mandel/Brezina; public-domain algorithm, reimplemented here):
+
+* SETUP = host-side numpy/scipy graph work (the trace-time phase — same
+  stance as DOF-map construction): strength-of-connection filtering,
+  greedy aggregation, near-nullspace tentative prolongation with
+  per-aggregate QR, Jacobi-smoothed prolongation, Galerkin RAP products.
+  None of this is hot; all of it is data-dependent control flow XLA should
+  never see.
+* CYCLE = one jitted V-cycle over device-resident padded-ELL level
+  matrices: every SpMV is `(vals * z[cols]).sum(axis=1)` — a gather plus
+  a dense reduction, the layout XLA tiles well — with damped-Jacobi or
+  Chebyshev smoothers and a dense LU coarse solve. Level count is static,
+  so the recursion unrolls into one fused XLA computation.
+
+Usage: `AlgebraicMultigrid()` is a LinearSolverBackend `precond` callable
+(`(go, x_lin, time) -> (r -> M r)`), or build one directly from a scipy
+CSR with `AlgebraicMultigrid.from_csr(A)`.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# host-side setup: aggregation hierarchy (numpy/scipy only)
+# ---------------------------------------------------------------------------
+
+def _strength_graph(A, theta):
+    """Symmetric strength-of-connection: keep a_ij with
+    |a_ij| >= theta * sqrt(|a_ii a_jj|). Returns a boolean CSR (no diag)."""
+    import scipy.sparse as sp
+
+    d = np.abs(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    C = A.tocoo(copy=True)
+    off = C.row != C.col
+    keep = off & (np.abs(C.data) >= theta * np.sqrt(d[C.row] * d[C.col]))
+    S = sp.csr_matrix(
+        (np.ones(keep.sum(), np.int8), (C.row[keep], C.col[keep])),
+        shape=A.shape)
+    return S
+
+
+def _aggregate(S, decoupled):
+    """Greedy (Vanek) aggregation on the strength graph.
+
+    Pass 1: a node whose strong neighborhood is untouched seeds an
+    aggregate of itself + neighbors. Pass 2: leftovers join the strongest
+    adjacent aggregate. Pass 3: remaining isolated nodes become
+    singletons. Structurally decoupled rows (no off-diagonal entries in A
+    at all — Dirichlet identity rows after symmetric elimination) are
+    EXCLUDED from the coarse space (agg = -2): one smoother sweep solves
+    them exactly, and keeping them would pile up permanent singletons on
+    every level. Returns (agg: node -> aggregate or -2, n_agg)."""
+    n = S.shape[0]
+    agg = np.full(n, -1, np.int64)
+    agg[decoupled] = -2
+    indptr, indices = S.indptr, S.indices
+    n_agg = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if nbrs.size and np.all(agg[nbrs] == -1):
+            agg[i] = n_agg
+            agg[nbrs] = n_agg
+            n_agg += 1
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        owned = nbrs[agg[nbrs] >= 0]
+        if owned.size:
+            agg[i] = agg[owned[0]]
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = n_agg
+            n_agg += 1
+    return agg, n_agg
+
+
+def _tentative_prolongation(agg, n_agg, B):
+    """Near-nullspace-exact tentative prolongation.
+
+    B: (n, nb) near-nullspace block (default: the constant vector; for
+    elasticity pass rigid-body modes). Per aggregate, the thin QR of B's
+    rows gives an orthonormal local basis (the P0 column block) and the
+    coarse-level near-nullspace (the R factor)."""
+    import scipy.sparse as sp
+
+    n, nb = B.shape
+    member = np.flatnonzero(agg >= 0)
+    order = member[np.argsort(agg[member], kind="stable")]
+    bounds = np.searchsorted(agg[order], np.arange(n_agg + 1))
+    rows, cols, vals = [], [], []
+    Bc = np.zeros((n_agg * nb, nb), B.dtype)
+    for a in range(n_agg):
+        idx = order[bounds[a]:bounds[a + 1]]
+        Q, R = np.linalg.qr(B[idx])  # (m, nb), (nb, nb)
+        rows.append(np.repeat(idx, nb))
+        cols.append(np.tile(a * nb + np.arange(nb), idx.size))
+        vals.append(Q.reshape(-1))
+        Bc[a * nb:(a + 1) * nb] = R
+    P0 = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n_agg * nb))
+    return P0, Bc
+
+
+def _spectral_radius(A, iters=15, seed=0):
+    """Power-iteration estimate of rho(D^-1 A) (host, scipy)."""
+    rng = np.random.default_rng(seed)
+    d = A.diagonal()
+    d = np.where(np.abs(d) > 0, d, 1.0)
+    x = rng.standard_normal(A.shape[0])
+    x /= np.linalg.norm(x)
+    rho = 1.0
+    for _ in range(iters):
+        y = (A @ x) / d
+        ny = np.linalg.norm(y)
+        if ny == 0:
+            return 1.0
+        rho, x = ny, y / ny
+    return rho
+
+
+def _csr_to_ell(A, dtype):
+    """CSR -> padded ELL (cols[n,k], vals[n,k]); pads reference the row's
+    own index with zero value so gathers stay in-bounds."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    n = A.shape[0]
+    counts = np.diff(A.indptr)
+    k = max(int(counts.max()), 1)
+    cols = np.tile(np.arange(n)[:, None], (1, k))
+    vals = np.zeros((n, k), dtype)
+    r = np.repeat(np.arange(n), counts)
+    pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    cols[r, pos] = A.indices
+    vals[r, pos] = A.data
+    return jnp.asarray(cols, jnp.int32), jnp.asarray(vals)
+
+
+def _ell_apply(cols, vals, z):
+    return (vals * z[cols]).sum(axis=1)
+
+
+class _Level:
+    __slots__ = ("A_cols", "A_vals", "diag", "P_cols", "P_vals",
+                 "R_cols", "R_vals", "lmax", "n", "nc")
+
+
+class AlgebraicMultigrid:
+    """Smoothed-aggregation AMG V-cycle preconditioner.
+
+    Parameters mirror dune-istl's Amg::Parameters knobs where they exist:
+    theta = strength threshold, max_coarse = coarsen target (ISTL
+    coarsenTarget), presmooth/postsmooth = smoother steps (ISTL
+    setNoPre/PostSmoothSteps), smoother = 'jacobi' (damped 2/3) or
+    'chebyshev'. near_nullspace: (n, nb) array; None -> constants.
+    """
+
+    def __init__(self, theta=0.02, max_coarse=256, max_levels=12,
+                 omega=4.0 / 3.0, smoother="jacobi", presmooth=1,
+                 postsmooth=1, jacobi_damping=2.0 / 3.0, cheby_degree=2,
+                 near_nullspace=None):
+        self.theta = theta
+        self.max_coarse = max_coarse
+        self.max_levels = max_levels
+        self.omega = omega
+        self.smoother = smoother
+        self.presmooth = presmooth
+        self.postsmooth = postsmooth
+        self.jacobi_damping = jacobi_damping
+        self.cheby_degree = cheby_degree
+        self.near_nullspace = near_nullspace
+        self._setup_key = None
+        self._apply = None
+
+    # -- setup ---------------------------------------------------------------
+    def setup_from_csr(self, A):
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        dtype = A.dtype
+        B = self.near_nullspace
+        if B is None:
+            B = np.ones((A.shape[0], 1), dtype)
+        B = np.asarray(B, dtype)
+        levels = []
+        while (A.shape[0] > self.max_coarse
+               and len(levels) < self.max_levels - 1):
+            S = _strength_graph(A, self.theta)
+            offdiag = A - sp.diags(A.diagonal())
+            offdiag.eliminate_zeros()
+            decoupled = np.diff(offdiag.tocsr().indptr) == 0
+            agg, n_agg = _aggregate(S, decoupled)
+            if n_agg == 0 or n_agg * B.shape[1] >= A.shape[0]:
+                break  # aggregation stalled (e.g. diagonal matrix)
+            P0, Bc = _tentative_prolongation(agg, n_agg, B)
+            rho = _spectral_radius(A)
+            d = A.diagonal()
+            d = np.where(np.abs(d) > 0, d, 1.0)
+            Dinv = sp.diags(1.0 / d)
+            P = (P0 - (self.omega / rho) * (Dinv @ (A @ P0))).tocsr()
+            R = P.T.tocsr()
+            lvl = _Level()
+            lvl.n, lvl.nc = A.shape[0], P.shape[1]
+            lvl.A_cols, lvl.A_vals = _csr_to_ell(A, dtype)
+            lvl.diag = jnp.asarray(d)
+            lvl.P_cols, lvl.P_vals = _csr_to_ell(P, dtype)
+            lvl.R_cols, lvl.R_vals = _csr_to_ell(R, dtype)
+            lvl.lmax = float(rho)
+            levels.append(lvl)
+            A = (R @ (A @ P)).tocsr()
+            A.eliminate_zeros()
+            B = Bc
+        self._levels = levels
+        self._coarse = jax.scipy.linalg.lu_factor(jnp.asarray(A.toarray()))
+        self._nnz_per_level = [int((np.asarray(l.A_vals) != 0).sum())
+                               for l in levels] + [A.nnz]
+        self._build_apply()
+        return self
+
+    def setup_from_grid_operator(self, go, x_lin=None, time=0.0):
+        """Assemble via the lattice-ELL path when the space qualifies
+        (O(N*taps) memory), else the general BCOO jacobian."""
+        import scipy.sparse as sp
+
+        x_lin = x_lin if x_lin is not None else jnp.zeros(go.space.ndofs)
+        A = None
+        try:
+            from dune_pdelab_tpu.assembly.ell import assemble_ell, ell_to_csr
+            ell = assemble_ell(go, x_lin, time)
+            A = ell_to_csr(ell)
+        except Exception:
+            A = None
+        if A is None:
+            Abcoo = go.jacobian(x_lin, time)
+            ind = np.asarray(Abcoo.indices)
+            A = sp.coo_matrix(
+                (np.asarray(Abcoo.data), (ind[:, 0], ind[:, 1])),
+                shape=Abcoo.shape).tocsr()
+        return self.setup_from_csr(A)
+
+    @classmethod
+    def from_csr(cls, A, **kw):
+        return cls(**kw).setup_from_csr(A)
+
+    # -- jitted V-cycle --------------------------------------------------------
+    def _smooth(self, lvl, x, r, steps):
+        if self.smoother == "chebyshev":
+            from . import preconditioners
+            cheb = preconditioners.chebyshev(
+                lambda z: _ell_apply(lvl.A_cols, lvl.A_vals, z),
+                lvl.diag, lvl.lmax, degree=self.cheby_degree)
+            for _ in range(steps):
+                x = x + cheb(r - _ell_apply(lvl.A_cols, lvl.A_vals, x))
+            return x
+        wj = self.jacobi_damping
+        for _ in range(steps):
+            x = x + wj * (r - _ell_apply(lvl.A_cols, lvl.A_vals, x)) / lvl.diag
+        return x
+
+    def _build_apply(self):
+        levels = self._levels
+        coarse = self._coarse
+
+        def vcycle(l, r):
+            if l == len(levels):
+                return jax.scipy.linalg.lu_solve(coarse, r[:, None])[:, 0]
+            lvl = levels[l]
+            x = jnp.zeros_like(r)
+            x = self._smooth(lvl, x, r, self.presmooth)
+            res = r - _ell_apply(lvl.A_cols, lvl.A_vals, x)
+            rc = _ell_apply(lvl.R_cols, lvl.R_vals, res)
+            xc = vcycle(l + 1, rc)
+            x = x + _ell_apply(lvl.P_cols, lvl.P_vals, xc)
+            x = self._smooth(lvl, x, r, self.postsmooth)
+            return x
+
+        self._apply = jax.jit(lambda r: vcycle(0, r))
+
+    def apply(self, r):
+        return self._apply(r)
+
+    def __call__(self, go_or_r, x_lin=None, time=0.0):
+        """Dual calling convention (same trick as GeometricMultigrid):
+        as a LinearSolverBackend precond factory `(go, x_lin, time)`, or —
+        once set up — directly on a residual vector."""
+        if hasattr(go_or_r, "jacobian_apply") or hasattr(go_or_r, "space"):
+            key = (id(go_or_r), None if x_lin is None
+                   else hash(np.asarray(x_lin).tobytes()), float(time))
+            if self._apply is None or self._setup_key != key:
+                self.setup_from_grid_operator(go_or_r, x_lin, time)
+                self._setup_key = key
+            return self._apply
+        return self._apply(go_or_r)
+
+    # -- diagnostics -----------------------------------------------------------
+    def hierarchy_info(self):
+        """Per-level (n, nnz) + operator complexity (sum nnz / fine nnz)."""
+        sizes = [l.n for l in self._levels] + [
+            int(self._coarse[0].shape[0])]
+        nnz = self._nnz_per_level
+        return {"sizes": sizes, "nnz": nnz,
+                "operator_complexity": float(sum(nnz)) / max(nnz[0], 1)}

@@ -404,3 +404,26 @@ def SEQ_BCGS_ILUn(level=1, **kw):
 def MatrixFree_CG_Richardson(**kw):
     """ISTLBackend_SEQ_MatrixFree_Richardson analog (matrixfree/backends.hh)."""
     return LinearSolverBackend(solver="cg", precond="richardson", **kw)
+
+
+def SEQ_CG_AMG(**amg_kw):
+    """ISTLBackend_SEQ_CG_AMG_* analog (seqistlsolverbackend.hh:829-1060):
+    CG preconditioned by smoothed-aggregation AMG on the assembled
+    operator — works on ANY mesh/space (simplex, adaptive, unstructured),
+    where GeometricMultigrid requires a structured lattice. kwargs split:
+    AMG knobs (theta, max_coarse, smoother, ...) vs backend knobs."""
+    from dune_pdelab_tpu.linalg.amg import AlgebraicMultigrid
+    import inspect
+    amg_names = set(
+        inspect.signature(AlgebraicMultigrid.__init__).parameters) - {"self"}
+    akw = {k: v for k, v in amg_kw.items() if k in amg_names}
+    bkw = {k: v for k, v in amg_kw.items() if k not in amg_names}
+    return LinearSolverBackend(solver="cg", precond=AlgebraicMultigrid(**akw),
+                               **bkw)
+
+
+def SEQ_BCGS_AMG(**amg_kw):
+    """ISTLBackend_SEQ_BCGS_AMG_* analog."""
+    b = SEQ_CG_AMG(**amg_kw)
+    b.solver = "bicgstab"
+    return b

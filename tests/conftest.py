@@ -58,6 +58,8 @@ _SLOW_OVERRIDES = (
     "test_limited_advection_monotone",        # 12s
     "test_geneo_two_level_scalability",       # 12s
     "test_dgf_reentrant_corner_adaptive_solve",            # 12s
+    "test_simplex_p1_bounded_iterations",     # 15s (AMG refinement sweep)
+    "test_iterations_flat_under_refinement",  # 12s (AMG refinement sweep)
     "test_dg_poiseuille_stress_neumann_exact",             # 23s
     "test_dg_slip_walls_plug_flow_exact",                  # 2x ~18s
     "test_geneo_sparse_fallback_on_simplex",               # 26s
