@@ -30,17 +30,51 @@ from dune_pdelab_tpu.linalg.multigrid import GeometricMultigrid
 from dune_pdelab_tpu.space.space import FunctionSpace
 
 
+def _greedy_element_colors(mesh):
+    """Color simplex elements so face-adjacent elements differ (the DG
+    coupling graph: SIPG couples element blocks only through shared
+    faces). Greedy over the face-adjacency graph; returns a list of
+    int32 element-index arrays, one per color (same contract as
+    preconditioners.checkerboard_colors)."""
+    if_ = mesh.interior_faces()
+    E = mesh.nelements
+    nbrs = [[] for _ in range(E)]
+    for a, b in zip(if_["inside"], if_["outside"]):
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    color = np.full(E, -1, np.int64)
+    for e in range(E):
+        used = {color[n] for n in nbrs[e] if color[n] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        color[e] = c
+    return [np.flatnonzero(color == c).astype(np.int32)
+            for c in range(int(color.max()) + 1)]
+
+
 class DGTwoLevel:
     """Two-level preconditioner for (linear, SPD-ish) DG operators.
 
-    go_dg:   the DG GridOperator (single leaf, QkDG on a structured mesh)
+    go_dg:   the DG GridOperator (single leaf: QkDG on a structured mesh
+             or PkDG on a simplex mesh)
     cg_lop:  the CG discretization of the same PDE for the coarse space
              (e.g. ConvectionDiffusionFEM(problem))
     bctype:  Dirichlet bctype for the CG subspace (strong constraints)
+    coarse:  'gmg' (structured lattices), 'amg' (any mesh — the literal
+             seq_amg_dg_backend.hh composition: DG -> conforming subspace
+             -> algebraic multigrid), or 'auto' (gmg on structured
+             lattices, amg otherwise)
     """
 
     def __init__(self, go_dg, cg_lop, bctype=True, pre_smooth=1,
-                 post_smooth=1, gmg_kwargs=None):
+                 post_smooth=1, gmg_kwargs=None, coarse="auto",
+                 amg_kwargs=None):
+        from dune_pdelab_tpu.mesh.simplex import SimplexMesh
+        from dune_pdelab_tpu.fe.basis import PkFEM
+        from dune_pdelab_tpu.fe.quadrature import quadrature_rule
+        from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+
         space = go_dg.space
         assert space.is_leaf and space.fem.continuity == "DG"
         mesh = space.mesh
@@ -48,23 +82,41 @@ class DGTwoLevel:
         self.pre = pre_smooth
         self.post = post_smooth
         dim = mesh.dim
+        self._is_simplex = isinstance(mesh, SimplexMesh)
 
-        # CG Q1 subspace + geometric multigrid on it (the AMG slot)
-        self.V_cg = FunctionSpace(mesh, QkFEM(1, dim))
+        # conforming P1/Q1 subspace (cg_to_dg_prolongation.hh analog)
+        cg_fem = PkFEM(1, dim) if self._is_simplex else QkFEM(1, dim)
+        self.V_cg = FunctionSpace(mesh, cg_fem)
         self.cg_cg = make_constraints(bctype, self.V_cg)
-        self.gmg = GeometricMultigrid(cg_lop, mesh, QkFEM(1, dim),
-                                      bctype=bctype, **(gmg_kwargs or {}))
+        if coarse == "auto":
+            coarse = "amg" if self._is_simplex else "gmg"
+        self.coarse_kind = coarse
+        if coarse == "gmg":
+            self.gmg = GeometricMultigrid(cg_lop, mesh, cg_fem,
+                                          bctype=bctype, **(gmg_kwargs or {}))
+            self._go_cg = None
+        elif coarse == "amg":
+            self.gmg = None
+            self._amg_kwargs = amg_kwargs or {}
+            self._go_cg = GridOperator(self.V_cg, cg_lop,
+                                       constraints=self.cg_cg)
+        else:
+            raise ValueError(f"coarse={coarse!r}")
 
-        # CG -> DG nodal interpolation weights: DG node j at reference
-        # position xi_j gets prod_d (xi_d if corner bit else 1 - xi_d)
-        nodes = space.fem.nodes                       # (nloc, dim)
-        nb = space.fem.nbasis
-        C = 2 ** dim
-        W = np.ones((nb, C))
-        for c in range(C):
-            for d in range(dim):
-                W[:, c] *= nodes[:, d] if (c >> d) & 1 else 1.0 - nodes[:, d]
-        self._W = W
+        # CG -> DG embedding weights W[j, c]: the element-local corner hat
+        # function lambda_c expressed in the DG element basis via local L2
+        # projection at quadrature points. P1/Q1 restricted to one element
+        # lies IN the DG element space (k >= 1), so the projection is the
+        # exact embedding — and unlike nodal interpolation it also serves
+        # modal bases (Legendre/monomial/OPB).
+        fem = space.fem
+        nb = fem.nbasis
+        qp, qw = quadrature_rule(fem.geometry, dim, 2 * fem.degree + 2)
+        phi, _ = fem.tabulate(qp)                     # (nq, nb)
+        lam, _ = cg_fem.tabulate(qp)                  # (nq, C)
+        M = phi.T @ (qw[:, None] * phi)
+        b = phi.T @ (qw[:, None] * lam)
+        self._W = np.linalg.solve(M, b)               # (nb, C)
         self._corners = np.asarray(self.V_cg.element_dofs, np.int32)
         self.E = mesh.nelements
         self.nb = nb
@@ -94,16 +146,25 @@ class DGTwoLevel:
             x_lin = jnp.zeros(go.space.ndofs)
         blocks = go.element_diagonal_blocks(x_lin, time)      # (E, nb, nb)
         lu, piv = jax.scipy.linalg.lu_factor(blocks)
-        self.gmg.setup(None, 0.0)
-        gmg_apply = self.gmg._apply_jit
+        if self.coarse_kind == "gmg":
+            self.gmg.setup(None, 0.0)
+            gmg_apply = self.gmg._apply_jit
+        else:
+            from dune_pdelab_tpu.linalg.amg import AlgebraicMultigrid
+            self.amg = AlgebraicMultigrid(
+                **self._amg_kwargs).setup_from_grid_operator(self._go_cg)
+            gmg_apply = self.amg.apply
         A = lambda z: go.jacobian_apply(x_lin, z, time)
         nb, E = self.nb, self.E
         pre, post = self.pre, self.post
         prolong, restrict = self._prolong, self._restrict
-        try:
-            colors = tuple(checkerboard_colors(go.space.mesh))
-        except Exception:
-            colors = None   # fall back to block-Jacobi sweeps
+        if self._is_simplex:
+            colors = tuple(_greedy_element_colors(go.space.mesh))
+        else:
+            try:
+                colors = tuple(checkerboard_colors(go.space.mesh))
+            except Exception:
+                colors = None   # fall back to block-Jacobi sweeps
 
         def smooth(z, r, sweeps):
             for _ in range(sweeps):

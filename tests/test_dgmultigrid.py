@@ -97,3 +97,72 @@ def test_dg_two_level_beats_block_jacobi():
         < 0.5 * sbj.result.linear_solver_iterations, (
             s2.result.linear_solver_iterations,
             sbj.result.linear_solver_iterations)
+
+
+def test_dg_two_level_simplex_amg_coarse():
+    """Simplex SIPG through the DG->P1->AMG composition (the literal
+    seq_amg_dg_backend.hh structure): iteration counts flat under
+    refinement, coarse solver auto-selects AMG (no GMG on simplices)."""
+    from dune_pdelab_tpu.mesh import SimplexMesh
+    from dune_pdelab_tpu.fe import PkDGFEM
+    from dune_pdelab_tpu.linalg.krylov import cg
+
+    p = SinCos2D()
+    its = []
+    for n in (8, 16, 32):
+        sm = SimplexMesh.from_structured(
+            StructuredMesh([0, 0], [1, 1], (n, n)))
+        V = FunctionSpace(sm, PkDGFEM(1, 2))
+        go = GridOperator(V, ConvectionDiffusionDG(p, method=DGMethod.SIPG))
+        tl = DGTwoLevel(go, ConvectionDiffusionFEM(p))
+        assert tl.coarse_kind == "amg"
+        tl.setup()
+        b = jnp.asarray(
+            np.random.default_rng(1).standard_normal(V.ndofs))
+        x0 = V.zero()
+        z, s = cg(lambda q: go.jacobian_apply(x0, q), b, M=tl.apply,
+                  tol=1e-10)
+        res = float(jnp.linalg.norm(go.jacobian_apply(x0, z) - b)) / float(
+            jnp.linalg.norm(b))
+        assert res < 1e-8, res
+        its.append(int(s.iterations))
+    assert its[-1] <= its[0] + 4, its
+    assert its[-1] <= 25, its
+
+
+def test_dg_two_level_modal_basis():
+    """The quadrature-projection CG->DG embedding serves MODAL bases
+    (Legendre; nodes=None) — nodal interpolation could not."""
+    from dune_pdelab_tpu.fe import LegendreDGFEM
+    from dune_pdelab_tpu.linalg.krylov import cg
+
+    p = SinCos2D()
+    mesh = StructuredMesh([0, 0], [1, 1], (16, 16))
+    V = FunctionSpace(mesh, LegendreDGFEM(1, 2))
+    go = GridOperator(V, ConvectionDiffusionDG(p, method=DGMethod.SIPG))
+    tl = DGTwoLevel(go, ConvectionDiffusionFEM(p))
+    tl.setup()
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(V.ndofs))
+    x0 = V.zero()
+    z, s = cg(lambda q: go.jacobian_apply(x0, q), b, M=tl.apply, tol=1e-10)
+    res = float(jnp.linalg.norm(go.jacobian_apply(x0, z) - b)) / float(
+        jnp.linalg.norm(b))
+    assert res < 1e-8 and int(s.iterations) <= 15, (res, int(s.iterations))
+
+
+def test_greedy_element_colors_valid():
+    """Face-adjacent simplex elements never share a color, and the colors
+    partition the element set."""
+    from dune_pdelab_tpu.mesh import SimplexMesh
+    from dune_pdelab_tpu.linalg.dgmultigrid import _greedy_element_colors
+
+    sm = SimplexMesh.from_structured(StructuredMesh([0, 0], [1, 1], (6, 6)))
+    colors = _greedy_element_colors(sm)
+    allc = np.concatenate(colors)
+    assert len(allc) == sm.nelements
+    assert len(np.unique(allc)) == sm.nelements
+    cmap = np.empty(sm.nelements, int)
+    for c, idx in enumerate(colors):
+        cmap[idx] = c
+    f = sm.interior_faces()
+    assert np.all(cmap[f["inside"]] != cmap[f["outside"]])
