@@ -483,6 +483,41 @@ def config11_twophase_displacement(cells=24, tend=0.008):
             "ndofs": W.ndofs, "t_final": float(t)}
 
 
+def config12_simplex_amg(cells=32, reduction=1e-10):
+    """(12) Simplex P1 Poisson solved by CG + smoothed-aggregation AMG
+    (ISTLBackend_SEQ_CG_AMG analog, linalg/amg.py). Golden pins the AMG-CG
+    iteration count and the coarse-hierarchy level count — together they
+    freeze the strength/aggregation/smoothed-P semantics."""
+    from dune_pdelab_tpu import (
+        StructuredMesh, FunctionSpace, GridOperator, constraints,
+        StationaryLinearProblemSolver, interpolate_dirichlet,
+    )
+    from dune_pdelab_tpu.mesh import SimplexMesh
+    from dune_pdelab_tpu.fe import PkFEM
+    from dune_pdelab_tpu.linalg.amg import AlgebraicMultigrid
+    from dune_pdelab_tpu.solvers import LinearSolverBackend
+
+    p = _Sine2D()
+    sm = SimplexMesh.from_structured(
+        StructuredMesh([0, 0], [1, 1], (cells, cells)))
+    V = FunctionSpace(sm, PkFEM(1, 2))
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+    amg = AlgebraicMultigrid()
+    ls = LinearSolverBackend(solver="cg", precond=amg, use_stencil=False)
+    x0 = interpolate_dirichlet(lambda q: np.asarray(p.g(jnp.asarray(q))),
+                               V, cg_, V.zero())
+    slp = StationaryLinearProblemSolver(go, ls, reduction=reduction,
+                                        verbose=0)
+    x = slp.apply(x0)
+    info = amg.hierarchy_info()
+    return {"l2_error": float(l2_difference(V, x, p.exact)),
+            "iterations": slp.result.linear_solver_iterations,
+            "levels": len(info["sizes"]),
+            "operator_complexity": info["operator_complexity"],
+            "ndofs": V.ndofs, "converged": slp.result.converged}
+
+
 ALL_CONFIGS = {
     "config1": config1_poisson_2d_mf,
     "config2": config2_poisson_3d_gmg,
@@ -495,4 +530,5 @@ ALL_CONFIGS = {
     "config9": config9_assembled_ilu,
     "config10": config10_stokes_outflow,
     "config11": config11_twophase_displacement,
+    "config12": config12_simplex_amg,
 }

@@ -36,6 +36,7 @@ _CONFIGS = {
     "config10_stokes_outflow": configs.config10_stokes_outflow,
     "config11_twophase_displacement":
         configs.config11_twophase_displacement,
+    "config12_simplex_amg": configs.config12_simplex_amg,
 }
 
 

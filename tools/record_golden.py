@@ -50,6 +50,7 @@ def main():
         ("config10_stokes_outflow", configs.config10_stokes_outflow, {}),
         ("config11_twophase_displacement",
          configs.config11_twophase_displacement, {}),
+        ("config12_simplex_amg", configs.config12_simplex_amg, {}),
     ]:
         if only and name not in only:
             continue
