@@ -286,12 +286,20 @@ def _assembled_half(log, cells=None):
     if streamed is None:
         raise RuntimeError("plane ELL kernel not applicable")
     z = jnp.asarray(np.random.default_rng(0).standard_normal(N), dtype)
-    sync(streamed(z))          # compile
+    reps = 20
+
+    # one dispatch for all reps: the axon relay costs ~2 ms per Python
+    # dispatch, which at ~4 ms/apply would understate throughput ~2x
+    import jax as _jax
+    from jax import lax as _lax
+
+    @_jax.jit
+    def spmv_loop(v):
+        return _lax.fori_loop(0, reps, lambda i, u: streamed(u) * 0.25, v)
+
+    sync(spmv_loop(z))          # compile
     t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
-        y = streamed(z)
-    sync(y)
+    sync(spmv_loop(z))
     t_p = (time.perf_counter() - t0) / reps
     log(f"plane ELL SpMV: {t_p*1e3:.2f} ms = {N/t_p/1e9:.2f} Gdof/s")
     return {
@@ -345,11 +353,19 @@ def _dg_half(log, cells=128):
             continue
         _, apply_mm, to_mm, _ = mm
         zmm = to_mm(z)
-        sync(apply_mm(zmm))            # compile
+        reps = 20
+
+        # single dispatch for all reps (axon relay: ~2 ms/Python dispatch)
+        from jax import lax as _lax
+
+        @jax.jit
+        def mm_loop(v):
+            return _lax.fori_loop(0, reps,
+                                  lambda i, u: apply_mm(u) * 0.25, v)
+
+        sync(mm_loop(zmm))             # compile
         t0 = time.perf_counter()
-        reps = 10
-        for _ in range(reps):
-            y = apply_mm(zmm)
+        y = mm_loop(zmm)
         sync(y)
         t = (time.perf_counter() - t0) / reps
         log(f"DG mm/{mode}: {t*1e3:.2f} ms = {N/t/1e9:.2f} Gdof/s")

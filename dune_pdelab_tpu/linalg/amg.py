@@ -192,7 +192,11 @@ class AlgebraicMultigrid:
         self._apply = None
 
     # -- setup ---------------------------------------------------------------
-    def setup_from_csr(self, A):
+    def setup_from_csr(self, A, keep_host=False):
+        """keep_host: also retain the hierarchy as host scipy CSRs
+        (`self.host_levels` = [(A, P, R, diag, lmax), ...],
+        `self.host_coarse` = dense coarse matrix) — consumed by
+        parallel.shardedamg.ShardedAMG."""
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
@@ -202,6 +206,7 @@ class AlgebraicMultigrid:
             B = np.ones((A.shape[0], 1), dtype)
         B = np.asarray(B, dtype)
         levels = []
+        host = []
         while (A.shape[0] > self.max_coarse
                and len(levels) < self.max_levels - 1):
             S = _strength_graph(A, self.theta)
@@ -226,17 +231,23 @@ class AlgebraicMultigrid:
             lvl.R_cols, lvl.R_vals = _csr_to_ell(R, dtype)
             lvl.lmax = float(rho)
             levels.append(lvl)
+            if keep_host:
+                host.append((A, P, R, d, float(rho)))
             A = (R @ (A @ P)).tocsr()
             A.eliminate_zeros()
             B = Bc
         self._levels = levels
+        if keep_host:
+            self.host_levels = host
+            self.host_coarse = A.toarray()
         self._coarse = jax.scipy.linalg.lu_factor(jnp.asarray(A.toarray()))
         self._nnz_per_level = [int((np.asarray(l.A_vals) != 0).sum())
                                for l in levels] + [A.nnz]
         self._build_apply()
         return self
 
-    def setup_from_grid_operator(self, go, x_lin=None, time=0.0):
+    def setup_from_grid_operator(self, go, x_lin=None, time=0.0,
+                                 keep_host=False):
         """Assemble via the lattice-ELL path when the space qualifies
         (O(N*taps) memory), else the general BCOO jacobian."""
         import scipy.sparse as sp
@@ -255,7 +266,7 @@ class AlgebraicMultigrid:
             A = sp.coo_matrix(
                 (np.asarray(Abcoo.data), (ind[:, 0], ind[:, 1])),
                 shape=Abcoo.shape).tocsr()
-        return self.setup_from_csr(A)
+        return self.setup_from_csr(A, keep_host=keep_host)
 
     @classmethod
     def from_csr(cls, A, **kw):

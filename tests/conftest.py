@@ -60,6 +60,9 @@ _SLOW_OVERRIDES = (
     "test_dgf_reentrant_corner_adaptive_solve",            # 12s
     "test_simplex_p1_bounded_iterations",     # 15s (AMG refinement sweep)
     "test_iterations_flat_under_refinement",  # 12s (AMG refinement sweep)
+    "test_cg_iteration_parity",               # 9s (sharded AMG)
+    "test_shardedamg.py::test_simplex_parity",             # 9s
+    "test_vcycle_parity[8]",                  # 8s (the [2] variant stays)
     "test_dg_poiseuille_stress_neumann_exact",             # 23s
     "test_dg_slip_walls_plug_flow_exact",                  # 2x ~18s
     "test_geneo_sparse_fallback_on_simplex",               # 26s
