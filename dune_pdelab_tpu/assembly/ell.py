@@ -208,20 +208,24 @@ def assemble_ell_device(go, x_lin=None, time=0.0):
 
     @jax.jit
     def unscramble(C):
+        # row r's tap-t value sits in probe class (r + off_t) % P: build
+        # the linear class-index grid once per tap and gather — one
+        # take_along_axis per tap instead of ncls masked adds (the
+        # masked-add form emitted ncls*nt fused selects, whose remote
+        # compile dominated the 16.8M-DOF assembly at ~100 s)
         rg = residue_grids()
+        G = int(np.prod(grid_shape))
+        Cf = C.reshape(len(classes), G)
         vals = []
         for t in range(nt):
             off_g = offsets[t][::-1]                 # grid-axis order
-            acc = jnp.zeros(grid_shape, dtype)
-            for cls in classes:
-                # rows r with (r + off) % P == cls
-                req = tuple((cls[a] - int(off_g[a])) % P
-                            for a in range(dim))
-                m = rg[0] == req[0]
-                for a in range(1, dim):
-                    m = jnp.logical_and(m, rg[a] == req[a])
-                acc = acc + jnp.where(m, C[cls_index[cls]], 0.0)
-            vals.append(acc)
+            cidx = jnp.zeros(grid_shape, jnp.int32)
+            for a in range(dim):
+                # classes = product(range(P)^dim): LAST tuple slot fastest
+                cidx = cidx + ((rg[a] + int(off_g[a])) % P) * (
+                    P ** (dim - 1 - a))
+            got = jnp.take_along_axis(Cf, cidx.reshape(1, G), axis=0)
+            vals.append(got.reshape(grid_shape))
         V = jnp.stack(vals)
         if mask is not None:
             V = V * (1.0 - mask.reshape(grid_shape).astype(dtype))[None]
