@@ -177,6 +177,11 @@ class ShardedAMG:
         self.amg = amg
 
         host = amg.host_levels
+        if not host:
+            raise ValueError(
+                "operator coarser than max_coarse: the sequential AMG is "
+                "already a single dense solve; sharding it has no levels "
+                "to distribute")
         dtype = host[0][0].dtype
         sizes = [h[0].shape[0] for h in host] + [amg.host_coarse.shape[0]]
         self.sizes = sizes
