@@ -106,7 +106,8 @@ def run_big(cells=255, iters=20):
 
 def main():
     args = sys.argv[1:] or ["config2_poisson_3d_gmg", "config3_convdiff_sipg",
-                            "config5_stokes_taylor_hood", "big"]
+                            "config5_stokes_taylor_hood",
+                            "config12_simplex_amg", "big"]
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     all_ok = True
     for a in args:

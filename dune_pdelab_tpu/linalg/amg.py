@@ -240,7 +240,12 @@ class AlgebraicMultigrid:
         if keep_host:
             self.host_levels = host
             self.host_coarse = A.toarray()
-        self._coarse = jax.scipy.linalg.lu_factor(jnp.asarray(A.toarray()))
+        # factor the (small) coarse matrix on the HOST: XLA's
+        # LuDecomposition is F32/C64-only on TPU, which would break fp64
+        # runs; device-side lu_solve (TriangularSolve) supports fp64
+        import scipy.linalg as sla
+        lu, piv = sla.lu_factor(A.toarray())
+        self._coarse = (jnp.asarray(lu), jnp.asarray(piv.astype(np.int32)))
         self._nnz_per_level = [int((np.asarray(l.A_vals) != 0).sum())
                                for l in levels] + [A.nnz]
         self._build_apply()

@@ -195,3 +195,16 @@ def test_vcycle_is_linear_and_spd():
     s21 = float(jnp.dot(r1, amg.apply(r2)))
     assert abs(s12 - s21) < 1e-8 * max(abs(s12), 1.0), (s12, s21)
     assert float(jnp.dot(r1, amg.apply(r1))) > 0
+
+
+def test_tet_p1_amg():
+    """3D tetrahedral P1 Poisson: AMG stays bounded (no GMG on tets)."""
+    sm = SimplexMesh.from_structured(
+        StructuredMesh([0, 0, 0], [1, 1, 1], (8, 8, 8)))
+    p = _Problem()
+    V = FunctionSpace(sm, PkFEM(1, 3))
+    cg_ = constraints(True, V)
+    go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_,
+                      skip_boundary=True)
+    it = _amg_cg_iters(go)
+    assert it <= 30, it
