@@ -282,3 +282,44 @@ class ShardedAMG:
 
     def __call__(self, r):
         return self.apply(r)
+
+    # ---- fully-sharded assembled solve ---------------------------------------
+    # the ISTLBackend_NOVLP_CG_AMG_* analog: the level-0 matrix IS the
+    # operator, so the whole preconditioned CG runs on padded-sharded
+    # vectors — matrix, Krylov vectors, and V-cycle never leave the shards
+    # (pad rows are zero rows with unit diagonal, so they stay exactly 0)
+    def operator_padded(self, xp):
+        """y = A x on padded-sharded vectors (level-0 matrix)."""
+        if not hasattr(self, "_A0_jit"):
+            ax = self.axis_name
+            A0 = self._levels[0]["A"]
+            ops0 = self._ops[0]["A"]
+            sm = jax.shard_map(
+                lambda x, o: A0.apply(x, o, ax),
+                mesh=self.device_mesh,
+                in_specs=(P(self.axis_name),
+                          jax.tree.map(lambda _: P(self.axis_name), ops0)),
+                out_specs=P(self.axis_name),
+            )
+            self._A0_jit = jax.jit(lambda x: sm(x, ops0))
+        return self._A0_jit(xp)
+
+    def solve_cg(self, b, tol=1e-10, maxiter=5000, x0=None):
+        """Distributed AMG-preconditioned CG on the assembled operator.
+
+        b: full (unpadded) RHS; returns (x, SolverStats) with x unpadded.
+        Arithmetic matches the sequential assembled AMG-CG exactly (pads
+        contribute 0 to every dot), so iteration counts are identical.
+        """
+        from dune_pdelab_tpu.linalg.krylov import cg as _cg
+
+        bp = jnp.zeros(self.NP, b.dtype).at[:self.N].set(b)
+        bp = jax.device_put(bp, self.sharding)
+        x0p = None
+        if x0 is not None:
+            x0p = jax.device_put(
+                jnp.zeros(self.NP, b.dtype).at[:self.N].set(x0),
+                self.sharding)
+        z, stats = _cg(self.operator_padded, bp, x0=x0p,
+                       M=self.apply_padded, tol=tol, maxiter=maxiter)
+        return z[:self.N], stats

@@ -113,3 +113,22 @@ def test_from_grid_operator_constructor():
     z = samg.apply(r)
     assert z.shape == r.shape
     assert float(jnp.dot(r, z)) > 0      # SPD-ish sanity
+
+
+def test_sharded_solve_cg_iteration_parity():
+    """The fully-sharded assembled solve (matrix + Krylov vectors +
+    V-cycle all sharded — the NOVLP_CG_AMG analog) matches the sequential
+    assembled AMG-CG in iterations and solution."""
+    import scipy.sparse as sp
+
+    V, go, amg, samg = _pair(StructuredMesh([0, 0], [1, 1], (48, 48)),
+                             QkFEM(1, 2))
+    b = go.residual(V.zero())
+    # sequential assembled reference: same level-0 matrix
+    A = sp.csr_matrix(amg.host_levels[0][0])
+    Aj = jnp.asarray(A.toarray())
+    z1, s1 = cg(lambda q: Aj @ q, b, M=amg.apply, tol=1e-11)
+    z2, s2 = samg.solve_cg(b, tol=1e-11)
+    assert int(s1.iterations) == int(s2.iterations), (
+        int(s1.iterations), int(s2.iterations))
+    assert float(jnp.linalg.norm(z1 - z2)) < 1e-9
