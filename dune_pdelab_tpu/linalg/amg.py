@@ -319,8 +319,12 @@ class AlgebraicMultigrid:
         as a LinearSolverBackend precond factory `(go, x_lin, time)`, or —
         once set up — directly on a residual vector."""
         if hasattr(go_or_r, "jacobian_apply") or hasattr(go_or_r, "space"):
-            key = (id(go_or_r), None if x_lin is None
-                   else hash(np.asarray(x_lin).tobytes()), float(time))
+            # linear operator: one hierarchy serves every solve; nonlinear:
+            # rebuild per linearization point (same contract as
+            # GeometricMultigrid.__call__ — no device->host hashing of x_lin)
+            key = ((id(go_or_r), float(time))
+                   if getattr(go_or_r.lop, "is_linear", False)
+                   else object())
             if self._apply is None or self._setup_key != key:
                 self.setup_from_grid_operator(go_or_r, x_lin, time)
                 self._setup_key = key
