@@ -64,6 +64,8 @@ _SLOW_OVERRIDES = (
     "test_shardedamg.py::test_simplex_parity",             # 9s
     "test_vcycle_parity[8]",                  # 8s (the [2] variant stays)
     "test_sharded_solve_cg_iteration_parity",  # 23s (sharded AMG solve)
+    "test_amg_inside_newton_nonlinear",        # 21s
+    "test_tet_p1_amg",                         # 14s
     # gate rebalance (third session): demote the redundant heavy of each
     # family, keep one oracle per family in the gate
     "test_ell_matches_matrix_free[cells3-2]",  # 18s ([cells1-2] stays)

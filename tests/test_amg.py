@@ -208,3 +208,52 @@ def test_tet_p1_amg():
                       skip_boundary=True)
     it = _amg_cg_iters(go)
     assert it <= 30, it
+
+
+def test_amg_inside_newton_nonlinear():
+    """AMG as the Newton linear-solver preconditioner on a NONLINEAR
+    problem: the hierarchy rebuilds per linearization point (is_linear
+    False -> no stale-hierarchy reuse) and Newton converges quadratically
+    to the manufactured solution."""
+    from dune_pdelab_tpu import interpolate_dirichlet
+    from dune_pdelab_tpu.ops import (
+        NonlinearConvectionDiffusionProblem, NonlinearConvectionDiffusionFEM,
+    )
+    from dune_pdelab_tpu.solvers import NewtonMethod
+
+    class Porous(NonlinearConvectionDiffusionProblem):
+        C = 1.5
+
+        def w(self, x, u):
+            return u * u
+
+        def f(self, x, u):
+            a = np.pi
+            s0, c0 = jnp.sin(a * x[..., 0]), jnp.cos(a * x[..., 0])
+            s1, c1 = jnp.sin(a * x[..., 1]), jnp.cos(a * x[..., 1])
+            ue = s0 * s1 + self.C
+            grad2 = a**2 * (c0**2 * s1**2 + s0**2 * c1**2)
+            return -2 * grad2 + 4 * a**2 * ue * (ue - self.C)
+
+        def g(self, x):
+            return jnp.sin(np.pi * x[..., 0]) * jnp.sin(
+                np.pi * x[..., 1]) + self.C
+
+        def exact(self, p):
+            return np.sin(np.pi * p[:, 0]) * np.sin(
+                np.pi * p[:, 1]) + self.C
+
+    p = Porous()
+    mesh = StructuredMesh([0, 0], [1, 1], (16, 16))
+    V = FunctionSpace(mesh, QkFEM(1, 2))
+    cg_ = constraints(p.dirichlet_bctype(), V)
+    go = GridOperator(V, NonlinearConvectionDiffusionFEM(p),
+                      constraints=cg_)
+    xc = V.interpolate(lambda pts: np.full(len(pts), p.C))
+    x0 = interpolate_dirichlet(p.g, V, cg_, xc)
+    newton = NewtonMethod(go, SEQ_CG_AMG(matrix_free=True), reduction=1e-11,
+                          verbose=0)
+    x = newton.apply(x0)
+    assert newton.result.converged
+    err = float(l2_difference(V, x, p.exact))
+    assert err < 2e-2, err
