@@ -55,6 +55,42 @@ def _strength_graph(A, theta):
     return S
 
 
+_NATIVE_AGG = None
+
+
+def _native_aggregate():
+    """ctypes binding for linalg/native/amg_setup.cc (g++-compiled on
+    first use, cached); returns None when no toolchain is available —
+    the pure-Python `_aggregate` below is the behavioral spec and both
+    produce bit-identical aggregate arrays (same sequential order)."""
+    global _NATIVE_AGG
+    if _NATIVE_AGG is not None:
+        return _NATIVE_AGG or None
+    import ctypes
+    import os
+    import subprocess
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+    src = os.path.join(d, "amg_setup.cc")
+    lib = os.path.join(d, "libamgsetup.so")
+    try:
+        if (not os.path.exists(lib)
+                or os.path.getmtime(lib) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", lib,
+                            src], check=True, capture_output=True)
+        L = ctypes.CDLL(lib)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.amg_aggregate.restype = ctypes.c_int64
+        L.amg_aggregate.argtypes = [
+            ctypes.c_int64, i64p, i64p,
+            ctypes.POINTER(ctypes.c_uint8), i64p]
+        _NATIVE_AGG = L
+        return L
+    except Exception:
+        _NATIVE_AGG = False
+        return None
+
+
 def _aggregate(S, decoupled):
     """Greedy (Vanek) aggregation on the strength graph.
 
@@ -67,6 +103,20 @@ def _aggregate(S, decoupled):
     them exactly, and keeping them would pile up permanent singletons on
     every level. Returns (agg: node -> aggregate or -2, n_agg)."""
     n = S.shape[0]
+    L = _native_aggregate()
+    if L is not None:
+        import ctypes
+        indptr64 = np.ascontiguousarray(S.indptr, np.int64)
+        indices64 = np.ascontiguousarray(S.indices, np.int64)
+        dec = np.ascontiguousarray(decoupled, np.uint8)
+        agg = np.empty(n, np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        n_agg = L.amg_aggregate(
+            n, indptr64.ctypes.data_as(i64p),
+            indices64.ctypes.data_as(i64p),
+            dec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            agg.ctypes.data_as(i64p))
+        return agg, int(n_agg)
     agg = np.full(n, -1, np.int64)
     agg[decoupled] = -2
     indptr, indices = S.indptr, S.indices
@@ -104,6 +154,19 @@ def _tentative_prolongation(agg, n_agg, B):
 
     n, nb = B.shape
     member = np.flatnonzero(agg >= 0)
+    if nb == 1:
+        # vectorized normalization (the per-aggregate QR loop is O(n_agg)
+        # interpreted). Column-sign conventions don't matter: a sign flip
+        # of a P0 column propagates as an exact +-1 similarity through
+        # smoothing/RAP and cancels in the V-cycle bit-for-bit.
+        nrm2 = np.zeros(n_agg, B.dtype)
+        np.add.at(nrm2, agg[member], B[member, 0] ** 2)
+        nrm = np.sqrt(nrm2)
+        nrm_safe = np.where(nrm == 0, 1.0, nrm)
+        P0 = sp.csr_matrix(
+            (B[member, 0] / nrm_safe[agg[member]],
+             (member, agg[member])), shape=(n, n_agg))
+        return P0, nrm[:, None]
     order = member[np.argsort(agg[member], kind="stable")]
     bounds = np.searchsorted(agg[order], np.arange(n_agg + 1))
     rows, cols, vals = [], [], []
