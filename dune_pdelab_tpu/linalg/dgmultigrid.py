@@ -137,13 +137,34 @@ class DGTwoLevel:
             jnp.asarray(self._corners)].add(rc_e)
         return jnp.where(self.cg_cg.mask, 0.0, rc)
 
-    def setup(self, x_lin=None, time=0.0):
+    def setup(self, x_lin=None, time=0.0, operator=None):
+        """operator: optional fast apply z -> A z at the linearization
+        point (e.g. a compiled block stencil) used by the smoothers in
+        place of the general jvp apply — the smoother dominates per-cycle
+        cost, so this is the same speedup LinearSolverBackend gets from
+        its stencil path. When None and the operator is linear, setup
+        tries to compile one itself."""
         from dune_pdelab_tpu.linalg.preconditioners import (
             checkerboard_colors,
         )
         go = self.go_dg
         if x_lin is None:
             x_lin = jnp.zeros(go.space.ndofs)
+        if operator is None and getattr(go.lop, "is_linear", False):
+            try:
+                from dune_pdelab_tpu.assembly.blockstencil import (
+                    compile_block_stencil,
+                )
+                operator = compile_block_stencil(go, x_lin, time)
+                if operator is not None and jax.default_backend() != "cpu":
+                    from dune_pdelab_tpu.assembly.blockstencil_mm import (
+                        try_mm_block_stencil, MMBlockStencil,
+                    )
+                    mm = try_mm_block_stencil(operator, mode="mxu2")
+                    if mm is not None:
+                        operator = MMBlockStencil(mm)
+            except Exception:
+                operator = None
         blocks = go.element_diagonal_blocks(x_lin, time)      # (E, nb, nb)
         lu, piv = jax.scipy.linalg.lu_factor(blocks)
         if self.coarse_kind == "gmg":
@@ -154,7 +175,8 @@ class DGTwoLevel:
             self.amg = AlgebraicMultigrid(
                 **self._amg_kwargs).setup_from_grid_operator(self._go_cg)
             gmg_apply = self.amg.apply
-        A = lambda z: go.jacobian_apply(x_lin, z, time)
+        A = (operator if operator is not None
+             else (lambda z: go.jacobian_apply(x_lin, z, time)))
         nb, E = self.nb, self.E
         pre, post = self.pre, self.post
         prolong, restrict = self._prolong, self._restrict
