@@ -257,3 +257,37 @@ def test_amg_inside_newton_nonlinear():
     assert newton.result.converged
     err = float(l2_difference(V, x, p.exact))
     assert err < 2e-2, err
+
+
+def test_native_aggregation_matches_python():
+    """The C++ aggregation (linalg/native/amg_setup.cc) and the Python
+    reference implementation produce bit-identical aggregate arrays on
+    the same strength graph (the Python loop is the behavioral spec)."""
+    import dune_pdelab_tpu.linalg.amg as amg_mod
+    from dune_pdelab_tpu.linalg.amg import (
+        _strength_graph, _aggregate, _native_aggregate,
+    )
+    import scipy.sparse as sp
+
+    if _native_aggregate() is None:
+        pytest.skip("no native toolchain")
+    V, go = _poisson_go(StructuredMesh([0, 0], [1, 1], (32, 32)),
+                        QkFEM(1, 2))
+    Ab = go.jacobian(V.zero())
+    ind = np.asarray(Ab.indices)
+    A = sp.coo_matrix((np.asarray(Ab.data), (ind[:, 0], ind[:, 1])),
+                      shape=Ab.shape).tocsr()
+    S = _strength_graph(A, 0.02)
+    off = A - sp.diags(A.diagonal())
+    off.eliminate_zeros()
+    dec = np.diff(off.tocsr().indptr) == 0
+    agg_native, n_native = _aggregate(S, dec)
+    # force the Python path
+    saved = amg_mod._NATIVE_AGG
+    amg_mod._NATIVE_AGG = False
+    try:
+        agg_py, n_py = _aggregate(S, dec)
+    finally:
+        amg_mod._NATIVE_AGG = saved
+    assert n_native == n_py
+    assert np.array_equal(agg_native, agg_py)
