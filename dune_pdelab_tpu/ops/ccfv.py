@@ -45,6 +45,21 @@ class ConvectionDiffusionCCFV(LocalOperator):
             return jnp.einsum("...i,i->...", An, n)
         return A
 
+    def max_speed(self, x=None, bmax=None):
+        """Max convective speed for CFLTimeController (the conservative
+        analog of the reference's cell-influx suggestTimestep,
+        convectiondiffusionccfv.hh:513). Pass `bmax` for position-dependent
+        velocity fields; constant b is read off directly."""
+        if bmax is not None:
+            return bmax
+        for d in (3, 2, 1):                # problem dim is not stored here
+            try:
+                b = self.problem.b(jnp.zeros((1, d)))
+                return float(jnp.max(jnp.abs(jnp.asarray(b))))
+            except (ValueError, TypeError, IndexError):
+                continue
+        return 0.0
+
     # -- volume: reaction + source ------------------------------------------
     def alpha_volume(self, ctx: VolumeContext, u):
         p = self.problem
@@ -66,10 +81,17 @@ class ConvectionDiffusionCCFV(LocalOperator):
         n = ctx.normal
         ui = u_in[:, 0][:, None]                            # (F,1)
         uo = u_out[:, 0][:, None]
-        Ai = self._scalarA(ctx.x, n)                        # (F, nqp)
-        Ao = Ai                                             # cellwise-smooth A
+        # evaluate A at BOTH cell centers and take the harmonic average of
+        # the normal diffusivities — the heterogeneous TPFA of the reference
+        # (convectiondiffusionccfv.hh:152-160): centers sit at x -+ (h/2) n
+        nn = jnp.broadcast_to(n, ctx.x.shape)
+        x_ci = ctx.x - 0.5 * ctx.h_inside[:, None, None] * nn
+        x_co = ctx.x + 0.5 * ctx.h_outside[:, None, None] * nn
+        Ai = self._scalarA(x_ci, n)                         # (F, nqp)
+        Ao = self._scalarA(x_co, n)
         Ah = 2.0 * Ai * Ao / (Ai + Ao + 1e-300)
-        d = ctx.h_inside[:, None]                           # center distance
+        # center-to-center distance (== h on uniform meshes)
+        d = 0.5 * (ctx.h_inside + ctx.h_outside)[:, None]
         b = jnp.asarray(p.b(ctx.x))
         bn = jnp.einsum("...d,d->...", jnp.broadcast_to(b, ctx.x.shape), n)
         upw = jnp.where(bn >= 0, ui, uo)
@@ -83,7 +105,9 @@ class ConvectionDiffusionCCFV(LocalOperator):
         n = ctx.normal
         ui = u[:, 0][:, None]
         bct = jnp.broadcast_to(jnp.asarray(p.bctype(ctx.x)), ctx.x.shape[:-1])
-        A = self._scalarA(ctx.x, n)
+        nn = jnp.broadcast_to(n, ctx.x.shape)
+        x_ci = ctx.x - 0.5 * ctx.h_inside[:, None, None] * nn
+        A = self._scalarA(x_ci, n)          # cell-center diffusivity
         b = jnp.asarray(p.b(ctx.x))
         bn = jnp.einsum("...d,d->...", jnp.broadcast_to(b, ctx.x.shape), n)
         d = ctx.h_inside[:, None] / 2.0
@@ -104,7 +128,9 @@ class ConvectionDiffusionCCFV(LocalOperator):
                               ctx.x.shape[:-1])
         oq = jnp.broadcast_to(jnp.asarray(p.o(ctx.x), ctx.factor.dtype),
                               ctx.x.shape[:-1])
-        A = self._scalarA(ctx.x, n)
+        nn = jnp.broadcast_to(n, ctx.x.shape)
+        x_ci = ctx.x - 0.5 * ctx.h_inside[:, None, None] * nn
+        A = self._scalarA(x_ci, n)          # cell-center diffusivity
         b = jnp.asarray(p.b(ctx.x))
         bn = jnp.einsum("...d,d->...", jnp.broadcast_to(b, ctx.x.shape), n)
         d = ctx.h_inside[:, None] / 2.0

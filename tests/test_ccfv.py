@@ -62,3 +62,39 @@ def test_ccfv_upwind_transport_monotone():
     assert slp.result.converged
     assert float(jnp.min(x)) > -1e-6
     assert float(jnp.max(x)) < 1.0 + 1e-6
+
+
+def test_ccfv_heterogeneous_tpfa_exact():
+    """Two-layer diffusion: K=k1 (x<0.5), K=k2 (x>=0.5). Harmonic-average
+    TPFA with A evaluated at CELL CENTERS (reference:
+    convectiondiffusionccfv.hh:152-160) is exact at cell centers when the
+    interface is a face."""
+    k1, k2 = 1.0, 10.0
+
+    class TwoLayer(ConvectionDiffusionProblem):
+        def A(self, x):
+            return jnp.where(x[..., 0] < 0.5, k1, k2)
+
+        def bctype(self, x):
+            on_x = (x[..., 0] < 1e-12) | (x[..., 0] > 1 - 1e-12)
+            return jnp.where(on_x, 1, 0)    # Dirichlet on x-faces only
+
+        def g(self, x):
+            return jnp.where(x[..., 0] > 0.5, 1.0, 0.0)
+
+    mesh, V, x, slp = _solve(TwoLayer(), 16)
+    assert slp.result.converged
+    q = 1.0 / (0.5 / k1 + 0.5 / k2)      # exact interface flux
+    c = mesh.element_centers()
+    xe = np.where(c[:, 0] < 0.5, q * c[:, 0] / k1,
+                  0.5 * q / k1 + q * (c[:, 0] - 0.5) / k2)
+    assert np.max(np.abs(np.asarray(x) - xe)) < 1e-9, \
+        np.max(np.abs(np.asarray(x) - xe))
+
+
+def test_ccfv_max_speed_cfl_hook():
+    class T(ConvectionDiffusionProblem):
+        def b(self, x):
+            return jnp.broadcast_to(jnp.array([2.0, -0.5]), x.shape)
+
+    assert abs(ConvectionDiffusionCCFV(T()).max_speed() - 2.0) < 1e-12
