@@ -42,16 +42,30 @@ def main(cells=64):
     print(f"[dg-mg] N={N}")
 
     t0 = time.time()
-    tl = DGTwoLevel(go, ConvectionDiffusionFEM(p))
-    tl.setup()
     x0 = V.zero()
     b = -go.residual(x0)
+    # outer operator: the compiled block-stencil/mm apply — what
+    # LinearSolverBackend would select — NOT the general jvp apply (the
+    # general apply costs ~100x the mm kernel at this size and would
+    # dominate the per-iteration figure)
+    from dune_pdelab_tpu.assembly.blockstencil import compile_block_stencil
+    from dune_pdelab_tpu.assembly.blockstencil_mm import (
+        try_mm_block_stencil, MMBlockStencil,
+    )
+    Aop = compile_block_stencil(go)
+    if Aop is not None and jax.default_backend() != "cpu":
+        mm = try_mm_block_stencil(Aop, mode="mxu2")
+        if mm is not None:
+            Aop = MMBlockStencil(mm)
+    tl = DGTwoLevel(go, ConvectionDiffusionFEM(p))
+    tl.setup(operator=Aop)
     # jit the operator and the preconditioner separately: the whole-CG jit
     # (krylov.cg is a lax.while_loop, compiled as one computation) takes
     # 400+ s at 64^3 over the relay; a host-side PCG loop over the two
     # jitted pieces pays only ~5 dispatches/iteration x ~2.5 ms —
     # negligible at <=10 iterations
-    A = jax.jit(lambda z: go.jacobian_apply(x0, z))
+    A = (Aop if Aop is not None
+         else jax.jit(lambda z: go.jacobian_apply(x0, z)))
 
     def run(bb, tol=1e-8, maxiter=60):
         x = jnp.zeros_like(bb)

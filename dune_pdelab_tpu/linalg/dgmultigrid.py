@@ -187,26 +187,46 @@ class DGTwoLevel:
                 colors = tuple(checkerboard_colors(go.space.mesh))
             except Exception:
                 colors = None   # fall back to block-Jacobi sweeps
+        if colors is not None:
+            # color steps as MASKED full-lattice updates instead of
+            # gather/scatter on color index sets: the strided gathers
+            # dominated the per-cycle cost on TPU, while a 0/1-mask
+            # multiply is pure streaming. Solving ALL blocks each step
+            # costs ~2x the lu_solve flops (tiny next to the operator
+            # apply) and is mathematically identical.
+            masks_np = np.zeros((len(colors), E), np.float64)
+            for i, cidx in enumerate(colors):
+                masks_np[i, cidx] = 1.0
+            # palindromic schedule with consecutive repeats dropped: a
+            # repeated color step after an exact block solve is a no-op
+            # (same-color blocks are mutually decoupled in the DG face
+            # graph), so [r,b,b,r] == [r,b,r] exactly — one fewer
+            # operator apply per symmetric sweep.
+            order = list(range(len(colors)))
+            order += list(range(len(colors) - 2, -1, -1))
+        else:
+            masks_np, order = None, None
 
-        def smooth(z, r, sweeps):
-            for _ in range(sweeps):
+        def smooth(z, r, sweeps, z_is_zero=False):
+            def solve_all(res):
+                return jax.scipy.linalg.lu_solve(
+                    (lu, piv), res.reshape(E, nb)[..., None])[..., 0]
+
+            for s in range(sweeps):
                 if colors is None:
-                    res = r - A(z)
-                    d = jax.scipy.linalg.lu_solve(
-                        (lu, piv), res.reshape(E, nb)[..., None])[..., 0]
-                    z = z + d.reshape(-1)
-                else:
-                    # symmetric colored block Gauss-Seidel
-                    for cidx in list(colors) + list(colors)[::-1]:
-                        res = r - A(z)
-                        rl = res.reshape(E, nb)[cidx]
-                        d = jax.scipy.linalg.lu_solve(
-                            (lu[cidx], piv[cidx]), rl[..., None])[..., 0]
-                        z = z.reshape(E, nb).at[cidx].add(d).reshape(-1)
+                    fresh = z_is_zero and s == 0
+                    res = r if fresh else r - A(z)
+                    z = z + solve_all(res).reshape(-1)
+                    continue
+                for k, ci in enumerate(order):
+                    fresh = z_is_zero and s == 0 and k == 0
+                    res = r if fresh else r - A(z)
+                    m = jnp.asarray(masks_np[ci], r.dtype)[:, None]
+                    z = (z.reshape(E, nb) + m * solve_all(res)).reshape(-1)
             return z
 
         def apply(r):
-            z = smooth(jnp.zeros_like(r), r, pre)
+            z = smooth(jnp.zeros_like(r), r, pre, z_is_zero=True)
             r2 = r - A(z)
             zc = gmg_apply(restrict(r2))
             z = z + prolong(zc)
