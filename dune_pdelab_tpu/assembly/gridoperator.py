@@ -72,7 +72,7 @@ class _FaceGroupData:
     """Static per-group data for boundary or skeleton assembly."""
     __slots__ = ("axis", "side", "elements", "outside", "leaf_dofs_in",
                  "leaf_dofs_out", "tabs_in", "tabs_out", "factor", "normal",
-                 "h_in", "h_out", "x", "weights", "tr_in", "tr_out")
+                 "h_in", "h_out", "x", "weights", "tr_in", "tr_out", "sel_w")
 
 
 class GridOperator:
@@ -168,6 +168,47 @@ class GridOperator:
                 self._build_boundary_groups(self._leaf_maps())
             if self.has["alpha_skeleton"]:
                 self._build_skeleton_groups(self._leaf_maps())
+
+        # --- selective assembly (skip_entity / skip_intersection) --------
+        # reference: localoperator/interface.hh:121,137 skip_entity/
+        # skip_intersection, dispatched by default/assembler.hh:123,161 —
+        # realized TPU-natively as STATIC 0/1
+        # element/face weights multiplied into local contributions before
+        # scatter (constants fold at compile time; no data-dependent
+        # control flow under jit). A skipped element drops its volume and
+        # boundary kernels; a skeleton face is assembled only when BOTH
+        # sides are active (clean subdomain semantics — the reference's
+        # visit-order-dependent one-sided skip is not reproduced), further
+        # masked by skip_intersection(face midpoints) when defined. The
+        # jvp/probing jacobian paths inherit the masks automatically.
+        # NOTE: element_diagonal_blocks of fully-skipped elements are
+        # singular — selective operators are meant to be summed with
+        # operators covering the complement (CombinedOperator).
+        self._sel_elem = None
+        if hasattr(lop, "skip_entity") or hasattr(lop, "skip_intersection"):
+            if not hasattr(mesh, "element_centers"):
+                raise NotImplementedError(
+                    "skip_entity/skip_intersection need element centers; "
+                    f"{type(mesh).__name__} provides none")
+            centers = np.asarray(mesh.element_centers(), np.float64)
+            if hasattr(lop, "skip_entity"):
+                skip_e = np.asarray(lop.skip_entity(jnp.asarray(centers)))
+                act = (~skip_e.astype(bool)).astype(np.float64)
+            else:
+                act = np.ones(mesh.nelements, np.float64)
+            if hasattr(lop, "skip_entity") and not np.all(act == 1.0):
+                self._sel_elem = act
+            for g in self.bnd_groups:
+                w = act[np.asarray(g.elements)]
+                g.sel_w = None if np.all(w == 1.0) else w
+            for g in self.skel_groups:
+                ei, eo = np.asarray(g.elements), np.asarray(g.outside)
+                w = act[ei] * act[eo]
+                if hasattr(lop, "skip_intersection"):
+                    mid = 0.5 * (centers[ei] + centers[eo])
+                    w = w * (~np.asarray(lop.skip_intersection(
+                        jnp.asarray(mid))).astype(bool)).astype(np.float64)
+                g.sel_w = None if np.all(w == 1.0) else w
 
         # device-resident cache for large per-entity arrays (quadrature
         # positions, per-element geometry): without it every trace bakes
@@ -666,6 +707,9 @@ class GridOperator:
 
     def _scatter_vol(self, r, r_loc):
         for dm, rl in zip(self.dof_maps, self._pack(r_loc)):
+            if self._sel_elem is not None:     # selective assembly mask
+                rl = rl * jnp.asarray(self._sel_elem, rl.dtype).reshape(
+                    (-1,) + (1,) * (rl.ndim - 1))
             r = dm.scatter_add(r, rl)
         return r
 
@@ -680,26 +724,31 @@ class GridOperator:
             r = self._scatter_vol(r, lop.alpha_volume(vctx, self._uarg(u_leaf)))
         if self.has["lambda_volume"]:
             r = self._scatter_vol(r, lop.lambda_volume(vctx))
-        def face_scatter(r, transfers, r_loc):
+        def face_scatter(r, transfers, r_loc, sel_w=None):
             for tr, rl in zip(transfers, self._pack(r_loc)):
+                if sel_w is not None:          # selective assembly mask
+                    rl = rl * jnp.asarray(sel_w, rl.dtype).reshape(
+                        (-1,) + (1,) * (rl.ndim - 1))
                 r = tr.scatter_add(r, rl)
             return r
 
         for g in self.bnd_groups:
             fctx = self._face_ctx(g, time, dtype)
             uf = [tr.gather(x) for tr in g.tr_in]
+            sw = getattr(g, "sel_w", None)
             if self.has["alpha_boundary"]:
                 r = face_scatter(r, g.tr_in,
-                                 lop.alpha_boundary(fctx, self._uarg(uf)))
+                                 lop.alpha_boundary(fctx, self._uarg(uf)), sw)
             if self.has["lambda_boundary"]:
-                r = face_scatter(r, g.tr_in, lop.lambda_boundary(fctx))
+                r = face_scatter(r, g.tr_in, lop.lambda_boundary(fctx), sw)
         for g in self.skel_groups:
             sctx = self._skel_ctx(g, time, dtype)
             ui = [tr.gather(x) for tr in g.tr_in]
             uo = [tr.gather(x) for tr in g.tr_out]
             r_in, r_out = lop.alpha_skeleton(sctx, self._uarg(ui), self._uarg(uo))
-            r = face_scatter(r, g.tr_in, r_in)
-            r = face_scatter(r, g.tr_out, r_out)
+            sw = getattr(g, "sel_w", None)
+            r = face_scatter(r, g.tr_in, r_in, sw)
+            r = face_scatter(r, g.tr_out, r_out, sw)
         return r
 
     def weighted_element_residuals(self, x, w, time=0.0):
@@ -735,21 +784,28 @@ class GridOperator:
         u_leaf = [dm.gather(x) for dm in self.dof_maps]
         w_leaf = [dm.gather(w) for dm in self.dof_maps]
         vctx = self._volume_ctx(time, dtype)
+
+        def sel(d, sw):                       # selective assembly mask
+            return d if sw is None else d * jnp.asarray(sw, d.dtype)
+
         if self.has["alpha_volume"]:
-            eta = eta + dots(lop.alpha_volume(vctx, self._uarg(u_leaf)),
-                             w_leaf)
+            eta = eta + sel(dots(lop.alpha_volume(vctx, self._uarg(u_leaf)),
+                                 w_leaf), self._sel_elem)
         if self.has["lambda_volume"]:
-            eta = eta + dots(lop.lambda_volume(vctx), w_leaf)
+            eta = eta + sel(dots(lop.lambda_volume(vctx), w_leaf),
+                            self._sel_elem)
         for g in self.bnd_groups:
             fctx = self._face_ctx(g, time, dtype)
             uf = [tr.gather(x) for tr in g.tr_in]
             wf = [tr.gather(w) for tr in g.tr_in]
             el = jnp.asarray(np.asarray(g.elements), jnp.int32)
+            sw = getattr(g, "sel_w", None)
             if self.has["alpha_boundary"]:
-                eta = eta.at[el].add(
-                    dots(lop.alpha_boundary(fctx, self._uarg(uf)), wf))
+                eta = eta.at[el].add(sel(
+                    dots(lop.alpha_boundary(fctx, self._uarg(uf)), wf), sw))
             if self.has["lambda_boundary"]:
-                eta = eta.at[el].add(dots(lop.lambda_boundary(fctx), wf))
+                eta = eta.at[el].add(sel(dots(lop.lambda_boundary(fctx), wf),
+                                         sw))
         for g in self.skel_groups:
             sctx = self._skel_ctx(g, time, dtype)
             ui = [tr.gather(x) for tr in g.tr_in]
@@ -758,10 +814,11 @@ class GridOperator:
             wo = [tr.gather(w) for tr in g.tr_out]
             r_in, r_out = lop.alpha_skeleton(sctx, self._uarg(ui),
                                              self._uarg(uo))
+            sw = getattr(g, "sel_w", None)
             eta = eta.at[jnp.asarray(np.asarray(g.elements),
-                                     jnp.int32)].add(dots(r_in, wi))
+                                     jnp.int32)].add(sel(dots(r_in, wi), sw))
             eta = eta.at[jnp.asarray(np.asarray(g.outside),
-                                     jnp.int32)].add(dots(r_out, wo))
+                                     jnp.int32)].add(sel(dots(r_out, wo), sw))
         return eta
 
     def _residual_with_mask(self, x, time):
