@@ -303,13 +303,17 @@ class ExplicitOneStepMethod:
         go1 = self.go1
         blocks = go1.element_jacobians(x, 0.0)
         dofs = jnp.asarray(go1.elem_gdofs_cat, jnp.int32)
-        lu, piv = jax.scipy.linalg.lu_factor(blocks)
+        from dune_pdelab_tpu.linalg.preconditioners import (
+            _explicit_block_inverse,
+        )
+        dinv = _explicit_block_inverse(blocks)
         counts = jnp.zeros(go1.space.ndofs, blocks.dtype).at[dofs].add(1.0)
 
         @jax.jit
         def solve(rhs):
             r_loc = rhs[dofs]
-            z_loc = jax.scipy.linalg.lu_solve((lu, piv), r_loc[..., None])[..., 0]
+            z_loc = jnp.einsum("ejk,ek->ej", dinv.astype(rhs.dtype), r_loc,
+                               precision="highest")
             return jnp.zeros_like(rhs).at[dofs].add(z_loc) / counts
 
         return solve

@@ -45,7 +45,7 @@ def block_jacobi(element_dofs, blocks, overlap_counts=None):
     conforming spaces DOFs are shared between elements and the result is an
     additive-Schwarz-style approximation scaled by the overlap counts.
     """
-    lu, piv = jax.scipy.linalg.lu_factor(blocks)
+    Dinv = _explicit_block_inverse(blocks)
     if overlap_counts is None:
         counts = jnp.zeros(int(element_dofs.max()) + 1,
                            blocks.dtype).at[element_dofs].add(1.0)
@@ -54,11 +54,23 @@ def block_jacobi(element_dofs, blocks, overlap_counts=None):
 
     def apply(r):
         r_loc = r[element_dofs]                          # (E, nloc)
-        z_loc = jax.scipy.linalg.lu_solve((lu, piv), r_loc[..., None])[..., 0]
+        z_loc = jnp.einsum("ejk,ek->ej", Dinv.astype(r.dtype), r_loc,
+                           precision="highest")
         z = jnp.zeros_like(r).at[element_dofs].add(z_loc)
         return z / counts
 
     return apply
+
+
+def _explicit_block_inverse(blocks):
+    """(E, m, m) -> per-block inverses. Batched tiny triangular solves are
+    TPU-hostile inside iteration loops (XLA lowers small batched lu_solve
+    poorly — measured seconds per V-cycle at 2M DOFs); a one-time explicit
+    inverse turns every application into one batched matvec."""
+    lu, piv = jax.scipy.linalg.lu_factor(blocks)
+    eye = jnp.broadcast_to(jnp.eye(blocks.shape[-1], dtype=blocks.dtype),
+                           blocks.shape)
+    return jax.scipy.linalg.lu_solve((lu, piv), eye)
 
 
 def chebyshev(A, diag, lambda_max, lambda_min_ratio=1.0 / 30.0, degree=4):
@@ -122,17 +134,18 @@ def colored_block_gauss_seidel(A, element_dofs, blocks, colors, sweeps=1,
     nloc); colors: list of int32 element-index arrays (disjoint DOF sets
     within each color).
     """
-    lu, piv = jax.scipy.linalg.lu_factor(blocks)
+    Dinv = _explicit_block_inverse(blocks)
     color_dofs = [element_dofs[c] for c in colors]
-    color_lu = [(lu[c], piv[c]) for c in colors]
+    color_inv = [Dinv[c] for c in colors]
 
     def apply(r):
         z = jnp.zeros_like(r)
         for _ in range(sweeps):
-            for dofs, (lc, pc) in zip(color_dofs, color_lu):
+            for dofs, dc in zip(color_dofs, color_inv):
                 r_cur = r - A(z)
                 r_loc = r_cur[dofs]
-                d_loc = jax.scipy.linalg.lu_solve((lc, pc), r_loc[..., None])[..., 0]
+                d_loc = jnp.einsum("ejk,ek->ej", dc.astype(r.dtype), r_loc,
+                                   precision="highest")
                 z = z.at[dofs].add(omega * d_loc)
         return z
 

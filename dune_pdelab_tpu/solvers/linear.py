@@ -148,10 +148,10 @@ blockstencil_pallas import try_pallas_block_stencil
                       if hasattr(go, "element_diagonal_blocks")
                       else go.element_jacobians(x_lin, time))
             dofs = jnp.asarray(go.elem_gdofs_cat, jnp.int32)
-            lu, piv = jax.scipy.linalg.lu_factor(blocks)
+            dinv = preconditioners._explicit_block_inverse(blocks)
             counts = jnp.zeros(go.space.ndofs,
                                blocks.dtype).at[dofs].add(1.0)
-            setup = {"lu": lu, "piv": piv, "dofs": dofs, "counts": counts,
+            setup = {"dinv": dinv, "dofs": dofs, "counts": counts,
                      "diag": diag}
         elif p == "chebyshev":
             op = lambda z: go.jacobian_apply(x_lin, z, time)
@@ -163,9 +163,9 @@ blockstencil_pallas import try_pallas_block_stencil
                       if hasattr(go, "element_diagonal_blocks")
                       else go.element_jacobians(x_lin, time))
             dofs = jnp.asarray(go.elem_gdofs_cat, jnp.int32)
-            lu, piv = jax.scipy.linalg.lu_factor(blocks)
+            dinv = preconditioners._explicit_block_inverse(blocks)
             colors = preconditioners.checkerboard_colors(go.mesh)
-            setup = {"lu": lu, "piv": piv, "dofs": dofs, "diag": diag,
+            setup = {"dinv": dinv, "dofs": dofs, "diag": diag,
                      "colors": tuple(colors)}
         else:
             raise ValueError(f"unknown preconditioner {self.precond!r}")
@@ -183,8 +183,9 @@ blockstencil_pallas import try_pallas_block_stencil
         if p == "block_jacobi":
             def apply(r):
                 r_loc = r[setup["dofs"]]
-                z_loc = jax.scipy.linalg.lu_solve(
-                    (setup["lu"], setup["piv"]), r_loc[..., None])[..., 0]
+                z_loc = jnp.einsum("ejk,ek->ej",
+                                   setup["dinv"].astype(r.dtype), r_loc,
+                                   precision="highest")
                 z = jnp.zeros_like(r).at[setup["dofs"]].add(z_loc)
                 return z / setup["counts"]
             return apply
@@ -197,11 +198,10 @@ blockstencil_pallas import try_pallas_block_stencil
                 for cidx in setup["colors"]:
                     r_cur = r - A(z)
                     dofs = setup["dofs"][cidx]
-                    lc = setup["lu"][cidx]
-                    pc = setup["piv"][cidx]
                     r_loc = r_cur[dofs]
-                    d_loc = jax.scipy.linalg.lu_solve(
-                        (lc, pc), r_loc[..., None])[..., 0]
+                    d_loc = jnp.einsum(
+                        "ejk,ek->ej", setup["dinv"][cidx].astype(r.dtype),
+                        r_loc, precision="highest")
                     z = z.at[dofs].add(d_loc)
                 return z
             return apply
