@@ -1,0 +1,311 @@
+"""Stencil-resident geometric multigrid on structured Qk lattices.
+
+The GMG that scales to the north-star problem (BASELINE.json: 3D Poisson at
+~134M DOFs solved to tolerance). `linalg.multigrid.GeometricMultigrid` runs
+every level through the general GridOperator path (vmapped element kernels,
+gather/scatter transfers with (N, m) index maps) — fine at tutorial sizes,
+hopeless at 100M+ DOFs where an (N, 8) transfer map alone is 4+ GB. This
+module instead keeps EVERY level operation in lattice form:
+
+  * level operators are compiled shift-MAC stencils (assembly/stencil.py) —
+    (2k+1)^d scalars, no index maps, no per-element intermediates;
+  * transfers are separable: one (n_out, taps) 1D map per axis applied as
+    `jnp.take` + weighted sum, so the only index arrays are 1D-line-sized;
+  * smoothing is damped Jacobi or Chebyshev with the spectral bound taken
+    from the stencil weights themselves (Gershgorin row sums of D^-1 A:
+    exact, free, mesh-independent) — no power iteration at setup;
+  * coarse-level stencils are probed on tiny PROXY meshes with the level's
+    spacing h_l (translation invariance makes the weights identical), so
+    setup never assembles anything at fine-level size;
+  * the coarsest level is a dense LU.
+
+The whole V-cycle + preconditioned-CG solve jits into one program
+(lax.while_loop over iterations, unrolled level recursion).
+
+This is the TPU-native replacement for the reference's scalable solve path —
+ISTL AMG-preconditioned CG (reference: dune/pdelab/backend/istl/
+seqistlsolverbackend.hh:983 ISTLBackend_SEQ_CG_AMG_SSOR, driven by
+dune/pdelab/stationary/linearproblem.hh:182-278): on a structured mesh the
+geometric hierarchy replaces algebraic coarsening and Chebyshev/Jacobi
+replace the sequential SSOR smoother.
+
+Validity = compile_stencil's contract: single-leaf C0 Qk space, uniform
+non-periodic mesh, linear translation-invariant operator, fully
+Dirichlet-constrained boundary. The stencil weights of the finest feasible
+direct-probe level are globally verified (random-vector parity inside
+compile_stencil); coarser/finer levels share them by translation invariance
+in h.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dune_pdelab_tpu.assembly.stencil import StencilOperator, compile_stencil
+from dune_pdelab_tpu.linalg.multigrid import _transfer_1d
+
+
+def _transpose_transfer_1d(idx, w, ncd):
+    """Transpose a 1D prolongation map (nfd, t) into a restriction map
+    (ncd, t') with coarse[i] = sum_t rw[i, t] * fine[ridx[i, t]]."""
+    nfd = idx.shape[0]
+    rows = [[] for _ in range(ncd)]
+    for f in range(nfd):
+        for j in range(idx.shape[1]):
+            if w[f, j] != 0.0:
+                rows[int(idx[f, j])].append((f, float(w[f, j])))
+    maxt = max(len(r) for r in rows)
+    ridx = np.zeros((ncd, maxt), dtype=np.int32)
+    rw = np.zeros((ncd, maxt))
+    for c, lst in enumerate(rows):
+        for t, (f, wv) in enumerate(lst):
+            ridx[c, t] = f
+            rw[c, t] = wv
+    return ridx, rw
+
+
+def _axis_apply(g, idx, w, axis):
+    """out[..., i, ...] = sum_t w[i, t] * g[..., idx[i, t], ...] along axis."""
+    taken = jnp.take(g, jnp.asarray(idx), axis=axis)
+    wshape = [1] * taken.ndim
+    wshape[axis] = idx.shape[0]
+    wshape[axis + 1] = idx.shape[1]
+    return jnp.sum(taken * jnp.asarray(w, g.dtype).reshape(wshape),
+                   axis=axis + 1)
+
+
+def _face_mask(dims):
+    """All-faces Dirichlet mask for a dof lattice (flat bool, dim0 fastest)."""
+    m = np.zeros(tuple(reversed(dims)), dtype=bool)
+    for ax in range(len(dims)):
+        sl = [slice(None)] * len(dims)
+        sl[ax] = 0
+        m[tuple(sl)] = True
+        sl[ax] = -1
+        m[tuple(sl)] = True
+    return m.reshape(-1)
+
+
+def _proxy_stencil(lop, fem, mesh_l, quad_order):
+    """Probe the level-l stencil weights on a tiny proxy mesh with the same
+    spacing h_l (translation invariance => identical interior weights)."""
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.constraints.dirichlet import (
+        constraints as make_constraints,
+    )
+    from dune_pdelab_tpu.space.space import FunctionSpace
+
+    k = fem.degree
+    pc = tuple(max(8, 4 * k + 4) for _ in range(mesh_l.dim))
+    mesh_p = type(mesh_l)(mesh_l.lower,
+                          mesh_l.lower + np.array(pc) * mesh_l.h, pc)
+    V_p = FunctionSpace(mesh_p, fem)
+    go_p = GridOperator(V_p, lop, constraints=make_constraints(True, V_p),
+                        quad_order=quad_order, skip_boundary=True)
+    return compile_stencil(go_p)
+
+
+class LatticeGMG:
+    """V-cycle multigrid on compiled stencils; a `precond` callable and a
+    full GMG-preconditioned CG solver.
+
+    Parameters
+    ----------
+    space : leaf FunctionSpace on a uniform structured mesh (Qk)
+    lop : linear, translation-invariant local operator
+    pre, post : smoothing steps per level (Chebyshev degree when
+        smoother="chebyshev")
+    smoother : "chebyshev" (default) | "jacobi"
+    fine_stencil : optionally pass the already-compiled fine StencilOperator
+        (e.g. the one driving the CG operator) to skip re-probing.
+    """
+
+    def __init__(self, space, lop, *, pre=2, post=2, smoother="chebyshev",
+                 omega=0.8, coarsest_cells=4, quad_order=None, cycle="v",
+                 fine_stencil=None):
+        mesh = space.mesh
+        fem = space.fem
+        if any(mesh.periodic) or not mesh.uniform:
+            raise ValueError("LatticeGMG requires a uniform non-periodic "
+                             "structured mesh")
+        self.pre, self.post = pre, post
+        self.omega = omega
+        self.cycle = cycle
+        self.smoother = smoother
+        k = fem.degree
+
+        meshes = [mesh]
+        while True:
+            m = meshes[-1]
+            if any(c % 2 or c < 2 * coarsest_cells for c in m.cells):
+                break
+            meshes.append(m.coarsen(2))
+        if len(meshes) < 2:
+            raise ValueError(f"mesh {mesh.cells} supports no coarsening")
+        self.meshes = meshes
+
+        # dof lattice dims per level (dim0 fastest) for a Qk C0 space
+        def dof_dims(m):
+            return tuple(k * c + 1 for c in m.cells)
+
+        self.dims = [dof_dims(m) for m in meshes]
+
+        # level stencils: reuse the fine one if provided; every level can be
+        # probed on a proxy mesh (weights depend only on h_l). The proxy
+        # compile runs compile_stencil's own global random-vector parity
+        # check on the proxy operator.
+        sts = []
+        for l, m in enumerate(meshes):
+            if l == 0 and fine_stencil is not None:
+                if tuple(fine_stencil.dims) != self.dims[0]:
+                    raise ValueError("fine_stencil dims mismatch")
+                sts.append(fine_stencil)
+                continue
+            st_p = _proxy_stencil(lop, fem, m, quad_order)
+            if st_p is None:
+                raise ValueError(
+                    "operator does not compile to a lattice stencil "
+                    "(variable coefficients / non-invariant terms?) — use "
+                    "GeometricMultigrid instead")
+            mask = jnp.asarray(_face_mask(self.dims[l]))
+            sts.append(StencilOperator(self.dims[l], k, st_p.weights,
+                                       st_p.offsets, mask,
+                                       st_p.interior_classes))
+        self.stencils = sts
+
+        # Gershgorin bound on lambda_max(D^-1 A) per level from the weights
+        self.lmax = []
+        for st in sts:
+            t0 = int(np.nonzero(~np.any(st.offsets, axis=1))[0][0])
+            bound = max(
+                float(np.abs(st.weights[c]).sum() / abs(st.weights[c][t0]))
+                for c in range(st.weights.shape[0]))
+            self.lmax.append(bound)
+
+        # separable transfer maps per (level, axis): transfers[l] maps
+        # level l+1 (coarse) <-> level l (fine)
+        self.transfers = []
+        for l in range(len(meshes) - 1):
+            per_axis = []
+            for d in range(mesh.dim):
+                idx, w, nfd, ncd = _transfer_1d(k, meshes[l + 1].cells[d],
+                                                False)
+                assert nfd == self.dims[l][d] and ncd == self.dims[l + 1][d]
+                ridx, rw = _transpose_transfer_1d(idx, w, ncd)
+                per_axis.append((idx.astype(np.int32), w, ridx, rw))
+            self.transfers.append(per_axis)
+
+        # coarsest level: dense LU via a real (tiny) GridOperator
+        from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+        from dune_pdelab_tpu.constraints.dirichlet import (
+            constraints as make_constraints,
+        )
+        from dune_pdelab_tpu.space.space import FunctionSpace
+        Vc = FunctionSpace(meshes[-1], fem)
+        goc = GridOperator(Vc, lop, constraints=make_constraints(True, Vc),
+                           quad_order=quad_order)
+        Ac = np.asarray(goc.jacobian(jnp.zeros(Vc.ndofs), 0.0).todense())
+        import scipy.linalg as sla
+        lu, piv = sla.lu_factor(Ac)
+        self._coarse_lu = (np.asarray(lu), piv.astype(np.int32))
+        self._vcycle_jit = None
+
+    @property
+    def nlevels(self):
+        return len(self.meshes)
+
+    # -- grid-shaped transfer ops ---------------------------------------------
+    def _restrict(self, l, res):
+        """fine level l flat -> coarse level l+1 flat (P^T)."""
+        g = res.reshape(tuple(reversed(self.dims[l])))
+        ndim = g.ndim
+        for d, (_, _, ridx, rw) in enumerate(self.transfers[l]):
+            g = _axis_apply(g, ridx, rw, ndim - 1 - d)
+        return g.reshape(-1)
+
+    def _prolong(self, l, zc):
+        """coarse level l+1 flat -> fine level l flat (P)."""
+        g = zc.reshape(tuple(reversed(self.dims[l + 1])))
+        ndim = g.ndim
+        for d, (idx, w, _, _) in enumerate(self.transfers[l]):
+            g = _axis_apply(g, idx, w, ndim - 1 - d)
+        return g.reshape(-1)
+
+    # -- V-cycle ----------------------------------------------------------------
+    def _smooth(self, l, z, r, steps):
+        st = self.stencils[l]
+        mask = st.mask
+        dinv = st.diagonal(r.dtype)
+        dinv = 1.0 / dinv
+        if self.smoother == "jacobi":
+            for _ in range(steps):
+                z = z + self.omega * dinv * (r - st(z))
+                z = jnp.where(mask, r, z)
+            return z
+        # Chebyshev on [lmax/4, lmax] (degree = steps), D^-1-preconditioned;
+        # standard 3-term recurrence (hypre/AMGX smoother form)
+        lmax = self.lmax[l]
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        res = r - st(z)
+        d = (1.0 / theta) * (dinv * res)
+        z = jnp.where(mask, r, z + d)
+        rho = 1.0 / sigma
+        for _ in range(steps - 1):
+            res = r - st(z)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * res)
+            z = jnp.where(mask, r, z + d)
+            rho = rho_new
+        return z
+
+    def _vcycle(self, l, r):
+        L = self.nlevels
+        if l == L - 1:
+            lu = jnp.asarray(self._coarse_lu[0], r.dtype)
+            piv = jnp.asarray(self._coarse_lu[1])
+            return jax.scipy.linalg.lu_solve((lu, piv), r[:, None])[:, 0]
+        st = self.stencils[l]
+        z = self._smooth(l, jnp.zeros_like(r), r, self.pre)
+        res = r - st(z)
+        rc = self._restrict(l, res)
+        maskc = self.stencils[l + 1].mask
+        rc = jnp.where(maskc, 0.0, rc)
+        zc = self._vcycle(l + 1, rc)
+        if self.cycle == "w" and l + 1 < L - 1:
+            rc2 = rc - self.stencils[l + 1](zc)
+            rc2 = jnp.where(maskc, 0.0, rc2)
+            zc = zc + self._vcycle(l + 1, rc2)
+        corr = self._prolong(l, zc)
+        z = z + jnp.where(st.mask, 0.0, corr)
+        return self._smooth(l, z, r, self.post)
+
+    def apply(self, r):
+        """One V-cycle: approximate A^-1 r (identity on constrained rows)."""
+        if self._vcycle_jit is None:
+            self._vcycle_jit = jax.jit(lambda rr: self._vcycle(0, rr))
+        return self._vcycle_jit(r)
+
+    def __call__(self, go, x_lin, time):
+        """LinearSolverBackend `precond` protocol (setup-free: stencils are
+        linearization-point independent by the linearity requirement)."""
+        return self.apply
+
+    # -- full solver ------------------------------------------------------------
+    def make_solver(self, tol=1e-8, atol=0.0, maxiter=500):
+        """jitted solve(b) -> (x, SolverStats): GMG-preconditioned CG on the
+        fine stencil, ISTL CGSolver semantics (true-defect 2-norm, relative
+        reduction `tol`). b must follow the residual convention (zero, i.e.
+        already-satisfied, Dirichlet rows)."""
+        from dune_pdelab_tpu.linalg.krylov import cg
+        st0 = self.stencils[0]
+
+        @jax.jit
+        def solve(b):
+            return cg(st0, b, M=lambda r: self._vcycle(0, r),
+                      tol=tol, atol=atol, maxiter=maxiter)
+
+        return solve
