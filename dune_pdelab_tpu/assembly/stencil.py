@@ -62,7 +62,8 @@ class StencilOperator:
                 if w[t] == 0.0:
                     continue
                 start = tuple(pad + int(off[d]) for d in reversed(range(dim)))
-                out = out + w[t] * lax.dynamic_slice(gp, start, grid.shape)
+                out = out + float(w[t]) * lax.dynamic_slice(
+                    gp, start, grid.shape)
         else:
             # residue classes: strided sublattices of the dof grid
             for ci, cls in enumerate(itertools.product(*[range(k)] * dim)):
@@ -81,7 +82,8 @@ class StencilOperator:
                         tuple(s + k * (n - 1) + 1 for s, n in zip(start, size)),
                         (k,) * dim,
                     )
-                    acc = w[t] * piece if acc is None else acc + w[t] * piece
+                    wt = float(w[t])
+                    acc = wt * piece if acc is None else acc + wt * piece
                 out = out.at[sl].set(acc if acc is not None else 0.0)
         y = out.reshape(-1)
         if self.mask is not None:
