@@ -179,11 +179,18 @@ class GridOperator:
         # boundary kernels; a skeleton face is assembled only when BOTH
         # sides are active (clean subdomain semantics — the reference's
         # visit-order-dependent one-sided skip is not reproduced), further
-        # masked by skip_intersection(face midpoints) when defined. The
-        # jvp/probing jacobian paths inherit the masks automatically.
-        # NOTE: element_diagonal_blocks of fully-skipped elements are
-        # singular — selective operators are meant to be summed with
-        # operators covering the complement (CombinedOperator).
+        # masked by skip_intersection(face midpoints) when defined —
+        # applied to BOTH skeleton and boundary faces, matching the
+        # reference's skipIntersection check before classifyIntersection
+        # (default/assembler.hh:161). The same masks are multiplied into
+        # the jvp-probed jacobian blocks (_element_jacobians_impl,
+        # _element_diagonal_blocks_impl, _all_jacobian_blocks), so
+        # jacobian()/jacobian_diagonal() are exact derivatives of the
+        # masked residual.
+        # NOTE: a selective operator alone yields singular (zero) blocks
+        # on fully-skipped elements — by design; selective operators are
+        # meant to be summed with operators covering the complement
+        # (CombinedOperator).
         self._sel_elem = None
         if hasattr(lop, "skip_entity") or hasattr(lop, "skip_intersection"):
             if not hasattr(mesh, "element_centers"):
@@ -200,6 +207,10 @@ class GridOperator:
                 self._sel_elem = act
             for g in self.bnd_groups:
                 w = act[np.asarray(g.elements)]
+                if hasattr(lop, "skip_intersection"):
+                    mid = self._boundary_face_midpoints(g, centers)
+                    w = w * (~np.asarray(lop.skip_intersection(
+                        jnp.asarray(mid))).astype(bool)).astype(np.float64)
                 g.sel_w = None if np.all(w == 1.0) else w
             for g in self.skel_groups:
                 ei, eo = np.asarray(g.elements), np.asarray(g.outside)
@@ -460,6 +471,24 @@ class GridOperator:
             origins = (mesh.lower + mesh.element_multi_index() * mesh.h)[g.elements]
             g.x = origins[:, None, :] + (pts_in * mesh.h)[None]
             self.skel_groups.append(g)
+
+    def _boundary_face_midpoints(self, g, centers):
+        """Physical midpoints of a boundary face group, for
+        skip_intersection evaluation (reference: default/assembler.hh:161
+        checks skipIntersection on every intersection, boundary included).
+        Simplex groups carry physical quadrature points (exact mean);
+        uniform structured groups shift the cell center by h/2 along the
+        face axis; otherwise the cell center is used (within-h
+        approximation, adequate for the subdomain-mask use case)."""
+        els = np.asarray(g.elements)
+        if getattr(g, "x", None) is not None:
+            return np.asarray(g.x).mean(axis=1)
+        mid = centers[els].copy()
+        if getattr(g, "axis", None) is not None and getattr(
+                self.mesh, "uniform", False):
+            h = np.asarray(self.mesh.h, np.float64)
+            mid[:, g.axis] += (2 * g.side - 1) * 0.5 * h[g.axis]
+        return mid
 
     def _build_simplex_face_groups(self, leaf_maps):
         """Face groups on simplex meshes (reference: the intersection sweep
@@ -911,8 +940,11 @@ class GridOperator:
         if not self.has["alpha_volume"]:
             E = self.mesh.nelements
             return jnp.zeros((E, self.nlocal, self.nlocal), dtype)
-        return self._probe(lambda u: lop.alpha_volume(vctx, u),
-                           u_leaf, self.local_sizes, time)
+        J = self._probe(lambda u: lop.alpha_volume(vctx, u),
+                        u_leaf, self.local_sizes, time)
+        if self._sel_elem is not None:     # selective assembly mask
+            J = J * jnp.asarray(self._sel_elem, dtype)[:, None, None]
+        return J
 
     def element_jacobians(self, x, time=0.0):
         """Per-element dense volume Jacobian blocks (E, nlocal, nlocal).
@@ -945,6 +977,9 @@ class GridOperator:
             uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
             Jb = self._probe(lambda u: lop.alpha_boundary(fctx, u),
                              uf, self.local_sizes, time)
+            sw = getattr(g, "sel_w", None)
+            if sw is not None:             # selective assembly mask
+                Jb = Jb * jnp.asarray(sw, dtype)[:, None, None]
             J = J.at[jnp.asarray(g.elements, jnp.int32)].add(Jb)
         for g in self.skel_groups:
             sctx = self._skel_ctx(g, time, dtype)
@@ -961,6 +996,11 @@ class GridOperator:
 
             Jii = self._probe(r_in_of_uin, ui, self.local_sizes, time)
             Joo = self._probe(r_out_of_uout, uo, self.local_sizes, time)
+            sw = getattr(g, "sel_w", None)
+            if sw is not None:             # selective assembly mask
+                swj = jnp.asarray(sw, dtype)[:, None, None]
+                Jii = Jii * swj
+                Joo = Joo * swj
             J = J.at[jnp.asarray(g.elements, jnp.int32)].add(Jii)
             J = J.at[jnp.asarray(g.outside, jnp.int32)].add(Joo)
         return J
@@ -981,6 +1021,9 @@ class GridOperator:
             uf = [x[jnp.asarray(m, jnp.int32)] for m in g.leaf_dofs_in]
             J = self._probe(lambda u: lop.alpha_boundary(fctx, u),
                             uf, self.local_sizes, time)
+            sw = getattr(g, "sel_w", None)
+            if sw is not None:             # selective assembly mask
+                J = J * jnp.asarray(sw, dtype)[:, None, None]
             gd = _cat_leaf_dofs(g.leaf_dofs_in)
             out.append((gd, gd, J))
         for g in self.skel_groups:
@@ -1019,6 +1062,9 @@ class GridOperator:
                 return jnp.concatenate(col, axis=1)         # (F, 2n)
 
             Jfull = jnp.moveaxis(jax.vmap(one)(tuple(sels)), 0, -1)
+            sw = getattr(g, "sel_w", None)
+            if sw is not None:             # selective assembly mask
+                Jfull = Jfull * jnp.asarray(sw, dtype)[:, None, None]
             gin = _cat_leaf_dofs(g.leaf_dofs_in)
             gout = _cat_leaf_dofs(g.leaf_dofs_out)
             gboth = np.concatenate([gin, gout], axis=1)     # (F, 2n)

@@ -210,6 +210,7 @@ class LatticeGMG:
         lu, piv = sla.lu_factor(Ac)
         self._coarse_lu = (np.asarray(lu), piv.astype(np.int32))
         self._vcycle_jit = None
+        self._host_steps = None
 
     @property
     def nlevels(self):
@@ -293,6 +294,73 @@ class LatticeGMG:
         """LinearSolverBackend `precond` protocol (setup-free: stencils are
         linearization-point independent by the linearity requirement)."""
         return self.apply
+
+    # -- host-loop solver ---------------------------------------------------
+    def solve_host(self, b, tol=1e-8, atol=0.0, maxiter=200, history=False):
+        """GMG-preconditioned CG with the iteration loop on the HOST.
+
+        Same semantics as make_solver (ISTL CGSolver: recurrence-defect
+        2-norm, relative reduction `tol`), but each iteration is 4 device
+        dispatches (A, fused update, V-cycle, fused direction) instead of
+        one whole-solver jit. On the tunneled TPU a whole-solver jit with a
+        multilevel body costs minutes of remote compile; the host loop
+        compiles only the V-cycle + two tiny fused steps and pays ~10 ms
+        of dispatch per iteration — noise at north-star sizes where a
+        V-cycle is tens of ms.
+
+        Returns (x, info dict) with iterations, converged, defect0, defect,
+        true_defect (recomputed ||b - A x|| at the end), and optionally the
+        per-iteration defect history.
+        """
+        st = self.stencils[0]
+        if self._host_steps is None:
+            @jax.jit
+            def update(x, r, p, q, rho):
+                alpha = rho / jnp.vdot(p, q)
+                x = x + alpha * p
+                r = r - alpha * q
+                return x, r, jnp.linalg.norm(r)
+
+            @jax.jit
+            def direction(r, z, p, rho):
+                rho_new = jnp.vdot(r, z)
+                p = z + (rho_new / rho) * p
+                return p, rho_new
+
+            self._host_steps = (update, direction)
+        update, direction = self._host_steps
+
+        x = jnp.zeros_like(b)
+        r = b
+        defect0 = float(jnp.linalg.norm(r))
+        target = max(tol * defect0, atol)
+        z = self.apply(r)
+        p = z
+        rho = jnp.vdot(r, z)
+        defect = defect0
+        hist = [defect0]
+        it = 0
+        while defect > target and it < maxiter:
+            q = st(p)
+            x, r, dnorm = update(x, r, p, q, rho)
+            defect = float(dnorm)          # host sync once per iteration
+            hist.append(defect)
+            it += 1
+            if defect <= target:
+                break
+            z = self.apply(r)
+            p, rho = direction(r, z, p, rho)
+        true_defect = float(jnp.linalg.norm(b - st(x)))
+        info = {
+            "iterations": it,
+            "converged": defect <= target,
+            "defect0": defect0,
+            "defect": defect,
+            "true_defect": true_defect,
+        }
+        if history:
+            info["history"] = hist
+        return x, info
 
     # -- full solver ------------------------------------------------------------
     def make_solver(self, tol=1e-8, atol=0.0, maxiter=500):

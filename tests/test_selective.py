@@ -150,3 +150,58 @@ def test_skip_entity_jacobian_apply_consistent():
     jz = go.jacobian_apply(jnp.zeros_like(z), z)
     rz = go.residual(z) - go.residual(jnp.zeros_like(z))
     assert float(jnp.max(jnp.abs(jz - rz))) < 1e-12
+
+
+def test_selective_jacobian_matches_jacobian_apply():
+    """ADVICE r3 (high): assembled jacobian of a selective operator must be
+    the derivative of the masked residual — J @ z == jacobian_apply(x, z)
+    for every probing path (jacobian, jacobian_diagonal, element blocks)."""
+    p = Prob()
+    mesh = StructuredMesh([0, 0], [1, 1], (6, 6))
+    V = FunctionSpace(mesh, QkDGFEM(1, 2))
+    go = GridOperator(V, _left(ConvectionDiffusionDG)(p))
+    x = jnp.zeros(V.ndofs)
+    z = _rand(V)
+    J = go.jacobian(x)
+    jz_mat = J @ z
+    jz_free = go.jacobian_apply(x, z)
+    assert float(jnp.max(jnp.abs(jz_mat - jz_free))) < 1e-11
+
+    # jacobian_diagonal must equal the diagonal of the assembled jacobian
+    d = go.jacobian_diagonal(x)
+    Jd = np.zeros(V.ndofs)
+    Jdense = np.asarray(J.todense())
+    np.testing.assert_allclose(np.asarray(d), np.diag(Jdense), atol=1e-11)
+
+    # element_diagonal_blocks of fully-skipped elements are ZERO (not the
+    # unmasked operator's blocks)
+    blocks = go.element_diagonal_blocks(x)
+    centers = np.asarray(mesh.element_centers())
+    skipped = centers[:, 0] >= 0.5
+    assert float(jnp.max(jnp.abs(blocks[skipped]))) == 0.0
+    assert float(jnp.max(jnp.abs(blocks[~skipped]))) > 1e-6
+
+
+def test_skip_intersection_masks_boundary_faces():
+    """ADVICE r3 (medium): skip_intersection applies to boundary
+    intersections too (reference checks skipIntersection before
+    classifyIntersection, default/assembler.hh:161)."""
+    p = Prob()
+    mesh = StructuredMesh([0, 0], [1, 1], (6, 6))
+    V = FunctionSpace(mesh, QkDGFEM(1, 2))
+    x = _rand(V)
+
+    class SkipRightBnd(ConvectionDiffusionDG):
+        def skip_intersection(self, mids):
+            return mids[..., 0] > 1.0 - 1e-9   # right boundary faces only
+
+    r_full = GridOperator(V, ConvectionDiffusionDG(p)).residual(x)
+    go_s = GridOperator(V, SkipRightBnd(p))
+    r_skip = go_s.residual(x)
+    diff = np.asarray(jnp.abs(r_full - r_skip))
+    assert diff.max() > 1e-8          # right-boundary terms really dropped
+    # jacobian consistency on the boundary-masked operator as well
+    z = _rand(V)
+    assert float(jnp.max(jnp.abs(
+        go_s.jacobian(jnp.zeros(V.ndofs)) @ z
+        - go_s.jacobian_apply(jnp.zeros(V.ndofs), z)))) < 1e-11
