@@ -60,6 +60,11 @@ def _probe_devices(budget_s):
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("BENCH_CPU") == "1":
+        # local smoke-testing: the sitecustomize pins the axon platform,
+        # so JAX_PLATFORMS alone cannot force CPU (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["BENCH_DEVICE_PROBE_S"] = "0"
     probe_s = int(os.environ.get("BENCH_DEVICE_PROBE_S", "600"))
     if probe_s > 0:
         platform = _probe_devices(probe_s)
@@ -187,6 +192,15 @@ def main():
     except Exception as e:
         log(f"envelope calibration skipped: {e}")
 
+    if os.environ.get("BENCH_SOLVE", "1") != "0":
+        # the north-star SOLVE: lattice-GMG-preconditioned CG driven to
+        # 1e-8 relative defect, mesh-independence table + time-to-solution
+        budget = int(os.environ.get("BENCH_SOLVE_BUDGET_S", "2700"))
+        try:
+            out.update(_with_timeout(_solve_half, budget, log))
+        except BaseException as e:
+            log(f"solve half skipped: {type(e).__name__}: {e}")
+
     if os.environ.get("BENCH_ASSEMBLED", "1") != "0":
         # the 255^3 remote compile can take ~20+ min; budget it, and fall
         # back to a smaller grid so the assembled_* keys still exist
@@ -258,6 +272,79 @@ def _dispatch_overhead():
     return _DISPATCH_S
 
 
+def _solve_half(log):
+    """North-star SOLVE (BASELINE.json: assemble+solve 3D Poisson at 100M+
+    DOFs): lattice-GMG-preconditioned CG driven to 1e-8 relative defect in
+    fp32, across 64^3..512^3 cells. Reports the iteration table (must be
+    mesh-independent), time-to-solution at the largest size, and the true
+    defect recomputed from b - A x (fp32 floor ~1e-6 relative; the
+    fp64-grade variant is the refinement stage / tools campaign).
+
+    Reference analog: ISTLBackend_SEQ_CG_AMG_SSOR driven by
+    StationaryLinearProblemSolver (dune/pdelab/backend/istl/
+    seqistlsolverbackend.hh:983, stationary/linearproblem.hh:182-278)."""
+    import gc
+    import jax.numpy as jnp
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM)
+    from dune_pdelab_tpu.assembly.stencil import compile_stencil
+    from dune_pdelab_tpu.linalg.gmg_lattice import LatticeGMG
+
+    class P(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_SOLVE_CELLS", "64,128,256,512").split(",")]
+    tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
+    iters_by_n = {}
+    res = {}
+    for n in sizes:
+        mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
+        V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
+        prob = P()
+        cg_mask = pt.constraints(prob.dirichlet_bctype(), V)
+        lop = ConvectionDiffusionFEM(prob)
+        go = pt.GridOperator(V, lop, constraints=cg_mask,
+                             skip_boundary=True)
+        N = V.ndofs
+        x0 = jnp.zeros(N, jnp.float32)
+        if N > 40_000_000:
+            from dune_pdelab_tpu.assembly.slabbed import residual_slabbed
+            b = -residual_slabbed(V, lop, cg_mask, x0, nslabs=16)
+        else:
+            b = -go.residual(x0)
+        t0 = time.perf_counter()
+        st = compile_stencil(go)
+        gmg = LatticeGMG(V, lop, fine_stencil=st)
+        # warm the V-cycle + fused-step compiles before timing the solve
+        _ = float(jnp.sum(gmg.apply(b)))
+        t_setup = time.perf_counter() - t0
+        x, info = gmg.solve_host(b, tol=tol, maxiter=100)
+        t0 = time.perf_counter()
+        x, info = gmg.solve_host(b, tol=tol, maxiter=100)
+        t_solve = time.perf_counter() - t0
+        iters_by_n[n] = info["iterations"]
+        log(f"solve {n}^3 (N={N}): {info['iterations']} its in "
+            f"{t_solve:.3f} s (setup+compile {t_setup:.1f} s), "
+            f"true rel defect {info['true_defect']/info['defect0']:.2e}, "
+            f"converged={info['converged']}")
+        res = {
+            "solve_N": N,
+            "solve_iterations": info["iterations"],
+            "solve_converged": bool(info["converged"]),
+            "solve_s": t_solve,
+            "solve_setup_s": t_setup,
+            "solve_dofs_per_s": N / t_solve,
+            "solve_true_rel_defect": info["true_defect"] / info["defect0"],
+        }
+        del x, b, st, gmg, go, V, mesh
+        gc.collect()
+    res["solve_iters_by_n"] = iters_by_n
+    return res
+
+
 def _assembled_half(log, cells=None):
     """Assembled element residuals/sec + assembled lattice-ELL SpMV at
     16.8M DOFs, variable coefficients (no translation invariance — the
@@ -267,7 +354,9 @@ def _assembled_half(log, cells=None):
     import dune_pdelab_tpu as pt
     from dune_pdelab_tpu.ops import (
         ConvectionDiffusionProblem, ConvectionDiffusionFEM)
-    from dune_pdelab_tpu.assembly.ell import assemble_ell_device
+    from dune_pdelab_tpu.assembly.ell import (
+        assemble_ell_device, assemble_ell_direct,
+    )
     from dune_pdelab_tpu.assembly.ell_pallas import try_plane_ell
 
     n = cells or int(os.environ.get("BENCH_ASM_CELLS", "255"))
@@ -306,10 +395,22 @@ def _assembled_half(log, cells=None):
         f"{E/t_res/1e6:.1f} M elem-res/s")
 
     t0 = time.perf_counter()
-    ell = assemble_ell_device(go, x_lin=x0)
+    ell = assemble_ell_direct(go, x_lin=x0)
+    if ell is None:
+        ell = assemble_ell_device(go, x_lin=x0)
     sync(ell.values)
     t_asm = time.perf_counter() - t0
-    log(f"ELL device assembly: {t_asm:.1f} s")
+    log(f"ELL direct assembly (cold, incl compile): {t_asm:.1f} s")
+    # warm rebuild = the production cost of reassembling at a new
+    # linearization point / new coefficients (Newton steps)
+    t0 = time.perf_counter()
+    ell2 = assemble_ell_direct(go, x_lin=x0)
+    if ell2 is not None:
+        sync(ell2.values)
+        t_asm_warm = time.perf_counter() - t0
+        log(f"ELL direct assembly (warm): {t_asm_warm:.2f} s")
+    else:
+        t_asm_warm = t_asm
 
     streamed = try_plane_ell(ell)
     if streamed is None:
@@ -329,6 +430,7 @@ def _assembled_half(log, cells=None):
         "assembled_N": N,
         "assembled_residual_meps": E / t_res / 1e6,
         "assembled_ell_build_s": t_asm,
+        "assembled_ell_build_warm_s": t_asm_warm,
         "assembled_spmv_gdofs": N / t_p / 1e9,
         "assembled_spmv_gbps": 30.0 * N * 4 / t_p / 1e9,
     }

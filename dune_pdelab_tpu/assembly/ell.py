@@ -153,6 +153,146 @@ def assemble_ell(go, x_lin=None, time=0.0):
     return EllMatrix(dims, k, offsets, jnp.asarray(values), mask)
 
 
+def assemble_ell_direct(go, x_lin=None, time=0.0, check=False):
+    """ONE-SWEEP device-side lattice-ELL assembly — no colored probing.
+
+    Computes per-element jacobian blocks by m = (k+1)^d jvp probes of
+    alpha_volume on a lattice-native volume context whose element origins
+    (and, for nonlinear operators, the local coefficient gather) are
+    derived from `broadcasted_iota` INSIDE the jit — no element-sized
+    constants enter the program. The colored-probing path
+    (assemble_ell_device) runs (2k+1)^d full jacobian_apply sweeps whose
+    jits bake (E, m) gather maps: ~76 s remote compiles per probe and
+    HTTP-413 request-size failures at 2M+ elements. Here one jit does the
+    whole build, and the local->global scatter is m^2 static strided adds
+    (A[k c + mi_a, k c + mi_b] += J_e[a, b] becomes a step-k slice update
+    per (a, b) pair) — exact for boundary rows, no edge fix-up.
+
+    Applies to: leaf C0 tensor-nodal Qk spaces on uniform non-periodic
+    meshes, volume-kernel jacobians (no face jacobian terms), Dirichlet
+    (non-affine) constraints. Returns None otherwise.
+
+    reference analog: the one-grid-sweep jacobian engine
+    (dune/pdelab/gridoperator/default/jacobianengine.hh) with etadd
+    Dirichlet elimination (gridoperator/common/assemblerutilities.hh:501)
+    realized as row masks + masked apply.
+    """
+    from dune_pdelab_tpu.ops.base import VolumeContext
+
+    space = go.space
+    if not getattr(space, "is_leaf", False):
+        return None
+    fem, mesh = space.fem, space.mesh
+    if (fem.continuity != "C0" or not hasattr(fem, "_mi")
+            or not mesh.uniform or any(mesh.periodic)
+            or not go.has["alpha_volume"]):
+        return None
+    if ((go.has["alpha_boundary"] and go.bnd_groups)
+            or (go.has["alpha_skeleton"] and go.skel_groups)):
+        return None                      # face jacobian terms: use probing
+    if go.cg is not None and go.cg.has_affine:
+        return None                      # affine constraints: use probing
+    lop = go.lop.set_time(time)
+    k = fem.degree
+    dim = mesh.dim
+    dims = space._dof_grid_dims
+    grid_shape = tuple(reversed(dims))
+    cells = mesh.cells
+    cells_shape = tuple(reversed(cells))
+    E = mesh.nelements
+    m = fem.nbasis
+    mi = np.asarray(fem._mi)             # (m, dim) local nodes, dim0 fastest
+    if x_lin is None:
+        x_lin = jnp.zeros(space.ndofs)
+    dtype = x_lin.dtype
+
+    offsets = np.array(list(itertools.product(
+        *[range(-k, k + 1)] * dim)))[:, ::-1]            # dim0 fastest
+    tap_of = {tuple(o): t for t, o in enumerate(offsets)}
+
+    vg = go.vol_geo
+    tabs = go._leaf_tabs(go._vol_tabs, dtype)
+    qoff = np.asarray(vg.qp_phys_offset)                 # (nqp, dim)
+    lower = np.asarray(mesh.lower, np.float64)
+    h = np.asarray(mesh.h, np.float64)
+    linear = bool(getattr(lop, "is_linear", False))
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(1, dim):
+        strides[d] = strides[d - 1] * dims[d - 1]
+    mask = go.cg.mask if go.cg is not None else None
+
+    def _row_slices(a):
+        """Dof-grid slices selecting rows k*c + mi[a] (grid-axis order)."""
+        out = []
+        for g in range(dim):
+            d = dim - 1 - g                              # spatial dim
+            start = int(mi[a][d])
+            out.append(slice(start, start + k * (cells[d] - 1) + 1, k))
+        return tuple(out)
+
+    @jax.jit
+    def build(x):
+        coords = [lax.broadcasted_iota(jnp.int32, cells_shape, dim - 1 - d)
+                  for d in range(dim)]                   # spatial-dim order
+        orig = jnp.stack(
+            [lower[d] + h[d] * coords[d].astype(dtype).reshape(-1)
+             for d in range(dim)], axis=-1)              # (E, dim)
+        xq = orig[:, None, :] + jnp.asarray(qoff, dtype)[None]
+        ctx = VolumeContext(
+            weights=jnp.asarray(vg.weights, dtype), x=xq,
+            factor=jnp.asarray(vg.factor, dtype), tabs=tabs,
+            jac_inv_T=jnp.asarray(vg.jac_inv_T, dtype),
+            cell_volume=jnp.asarray(vg.cell_volume, dtype), time=time)
+        if linear:
+            u0 = jnp.zeros((E, m), dtype)
+        else:
+            cols_u = []
+            for a in range(m):
+                idx = jnp.zeros(cells_shape, jnp.int64)
+                for d in range(dim):
+                    idx = idx + (k * coords[d].astype(jnp.int64)
+                                 + int(mi[a][d])) * int(strides[d])
+                cols_u.append(x[idx.reshape(-1)])
+            u0 = jnp.stack(cols_u, axis=-1)              # (E, m)
+        V = jnp.zeros((len(offsets),) + grid_shape, dtype)
+        f = lambda u: lop.alpha_volume(ctx, u)
+        for b in range(m):
+            tangent = jnp.zeros((E, m), dtype).at[:, b].set(1.0)
+            _, col = jax.jvp(f, (u0,), (tangent,))       # (E, m) = J[:, :, b]
+            colg = col.reshape(cells_shape + (m,))
+            for a in range(m):
+                off = tuple(int(v) for v in (mi[b] - mi[a]))
+                t = tap_of[off]
+                V = V.at[(t,) + _row_slices(a)].add(colg[..., a])
+        if mask is not None:
+            mg = mask.reshape(grid_shape)
+            V = V * (1.0 - mg.astype(dtype))[None]       # rows
+            # columns: zero taps whose target dof is constrained, so the
+            # stored values match the probing path (which assembles the
+            # symmetrically-eliminated P^T A P + I_c operator) exactly
+            mp = jnp.pad(mg, k, constant_values=False)
+            colm = []
+            for t in range(len(offsets)):
+                start = tuple(k + int(offsets[t][dim - 1 - g])
+                              for g in range(dim))
+                colm.append(lax.dynamic_slice(mp, start, grid_shape))
+            V = V * (1.0 - jnp.stack(colm).astype(dtype))
+        return V
+
+    ell = EllMatrix(dims, k, offsets, build(x_lin), mask)
+    if check:
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.standard_normal(space.ndofs), dtype)
+        y_ref = go.jacobian_apply(x_lin, z, time)
+        err = float(jnp.max(jnp.abs(ell(z) - y_ref)))
+        scale = float(jnp.max(jnp.abs(y_ref))) or 1.0
+        if err > 1e-5 * scale:
+            raise AssertionError(
+                f"direct ELL parity failure: max err {err:.3e} "
+                f"(scale {scale:.3e})")
+    return ell
+
+
 def assemble_ell_device(go, x_lin=None, time=0.0):
     """Device-resident lattice-ELL assembly for large N.
 

@@ -149,7 +149,7 @@ def config5_stokes_taylor_hood(cells=8, reduction=1e-9):
     """(5) Stokes Taylor-Hood Q2/Q1, block-preconditioned GMRES."""
     from dune_pdelab_tpu.ops.stokes import TaylorHoodNavierStokes
     from dune_pdelab_tpu.solvers.stokes import (
-        taylor_hood_space, stokes_constraints, StokesBlockJacobi,
+        taylor_hood_space, stokes_constraints, StokesGMGSchur,
     )
     from dune_pdelab_tpu.assembly.gridoperator import GridOperator
     from dune_pdelab_tpu.solvers.stationary import StationaryLinearProblemSolver
@@ -182,7 +182,11 @@ def config5_stokes_taylor_hood(cells=8, reduction=1e-9):
     W = taylor_hood_space(mesh, 2)
     cg_ = stokes_constraints(W)
     go = GridOperator(W, TaylorHoodNavierStokes(MS()), constraints=cg_)
-    ls = LinearSolverBackend(solver="gmres", precond=StokesBlockJacobi(W),
+    # velocity-GMG + pressure-mass Schur block-triangular preconditioner
+    # (internally falls back to a diagonal velocity block when the mesh
+    # has no lattice hierarchy, e.g. odd cell counts)
+    ls = LinearSolverBackend(solver="gmres",
+                             precond=StokesGMGSchur(W, mu=1.0),
                              restart=100, maxiter=20000)
     slp = StationaryLinearProblemSolver(go, ls, reduction=reduction, verbose=0)
     x = slp.apply(W.zero())
