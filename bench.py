@@ -201,6 +201,16 @@ def main():
         except BaseException as e:
             log(f"solve half skipped: {type(e).__name__}: {e}")
 
+    if os.environ.get("BENCH_REFINE", "1") != "0":
+        # fp64-grade north star: mixed-precision refinement (fp64 defect /
+        # fp32 GMG-CG inner) in a subprocess with x64 enabled, so the
+        # fp32 performance mode of this process stays untouched
+        budget = int(os.environ.get("BENCH_REFINE_BUDGET_S", "1800"))
+        try:
+            out.update(_refine_subprocess(log, budget))
+        except BaseException as e:
+            log(f"refine half skipped: {type(e).__name__}: {e}")
+
     if os.environ.get("BENCH_ASSEMBLED", "1") != "0":
         # the 255^3 remote compile can take ~20+ min; budget it, and fall
         # back to a smaller grid so the assembled_* keys still exist
@@ -270,6 +280,104 @@ def _dispatch_overhead():
         _ = float(x[0])
         _DISPATCH_S = (time.perf_counter() - t0) / reps
     return _DISPATCH_S
+
+
+def _refine_subprocess(log, budget_s):
+    """Run the fp64 refinement stage in a child process (JAX_ENABLE_X64=1
+    must be set before jax initializes; the parent stays fp32-default)."""
+    import subprocess
+    env = dict(os.environ)
+    env["JAX_ENABLE_X64"] = "1"
+    env["BENCH_STAGE"] = "refine"
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       capture_output=True, text=True, timeout=budget_s,
+                       env=env)
+    for line in r.stderr.splitlines():
+        log(f"(refine) {line}")
+    if r.returncode != 0:
+        raise RuntimeError(f"refine stage failed: {r.stderr[-500:]}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _refine_main():
+    """Child-process entry: solve the north-star problem to a TRUE fp64
+    relative defect of 1e-8 by defect-correction refinement around the
+    fp32 lattice-GMG-CG inner solve. The fp32 solve alone floors at a
+    true defect of ~1e-3 relative at 512^3 (eps_32 * kappa); this stage
+    is the BASELINE.json fp64-parity answer at production speed."""
+    import jax.numpy as jnp
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM)
+    from dune_pdelab_tpu.assembly.stencil import compile_stencil
+    from dune_pdelab_tpu.linalg.gmg_lattice import LatticeGMG
+    from dune_pdelab_tpu.solvers.refinement import refine_solve
+
+    def log(msg):
+        print(f"[refine] {msg}", file=sys.stderr, flush=True)
+
+    assert jnp.zeros(1).dtype == jnp.float64, "x64 not enabled"
+
+    class P(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    n = int(os.environ.get("BENCH_REFINE_CELLS", "512"))
+    mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
+    V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
+    prob = P()
+    cg_mask = pt.constraints(prob.dirichlet_bctype(), V)
+    lop = ConvectionDiffusionFEM(prob)
+    go = pt.GridOperator(V, lop, constraints=cg_mask, skip_boundary=True)
+    N = V.ndofs
+    x0 = jnp.zeros(N, jnp.float64)
+    if N > 20_000_000:
+        from dune_pdelab_tpu.assembly.slabbed import residual_slabbed
+        b = -residual_slabbed(V, lop, cg_mask, x0, nslabs=32)
+    else:
+        b = -go.residual(x0)
+    log(f"N={N}, b assembled in fp64")
+    st = compile_stencil(go)
+    gmg = LatticeGMG(V, lop, fine_stencil=st)
+
+    inner_its = []
+
+    def inner(r32):
+        z, info = gmg.solve_host(r32, tol=1e-4, maxiter=30)
+        inner_its.append(info["iterations"])
+        return z
+
+    # warm all compiles (fp32 V-cycle + steps, fp64 stencil apply)
+    _ = float(jnp.sum(gmg.apply(b.astype(jnp.float32))))
+    _ = float(jnp.sum(st(b)))
+    log("compiles warm")
+
+    # fp32-only solve wall (the performance mode to compare against)
+    t0 = time.perf_counter()
+    _, info32 = gmg.solve_host(b.astype(jnp.float32), tol=1e-8, maxiter=100)
+    t_fp32 = time.perf_counter() - t0
+    log(f"fp32 solve: {info32['iterations']} its in {t_fp32:.2f} s, "
+        f"true rel defect {info32['true_defect']/info32['defect0']:.2e}")
+
+    t0 = time.perf_counter()
+    x, stats = refine_solve(st, inner, b, tol=1e-8, max_outer=8)
+    t_ref = time.perf_counter() - t0
+    true_rel = stats.defect / stats.defect0
+    log(f"refined: {stats.outer_iterations} outer sweeps "
+        f"({'+'.join(str(i) for i in inner_its)} inner its) in {t_ref:.2f} s, "
+        f"TRUE fp64 rel defect {true_rel:.2e}")
+    print(json.dumps({
+        "refine_N": N,
+        "refine_outer": stats.outer_iterations,
+        "refine_inner_its": sum(inner_its),
+        "refine_s": t_ref,
+        "refine_true_rel_defect_fp64": true_rel,
+        "refine_converged": bool(stats.converged),
+        "refine_fp32_solve_s": t_fp32,
+        "refine_fp32_true_rel_defect": (
+            info32["true_defect"] / info32["defect0"]),
+        "refine_vs_fp32_wall": t_ref / t_fp32,
+    }))
 
 
 def _solve_half(log):
@@ -501,4 +609,7 @@ def _dg_half(log, cells=128):
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_STAGE") == "refine":
+        _refine_main()
+    else:
+        main()

@@ -230,7 +230,17 @@ def assemble_ell_direct(go, x_lin=None, time=0.0, check=False):
             out.append(slice(start, start + k * (cells[d] - 1) + 1, k))
         return tuple(out)
 
-    @jax.jit
+    # cache the compiled build on the GridOperator: a fresh jit per call
+    # would re-trace and re-compile every rebuild (Newton steps pay the
+    # full remote-compile cost again — measured 65 s "warm" at 2M DOFs)
+    cache = go.__dict__.setdefault("_ell_direct_cache", {})
+    key = (jnp.dtype(dtype).name, float(time))
+    if key in cache:
+        ell = EllMatrix(dims, k, offsets, cache[key](x_lin), mask)
+        if check:
+            _ell_direct_check(go, ell, x_lin, time)
+        return ell
+
     def build(x):
         coords = [lax.broadcasted_iota(jnp.int32, cells_shape, dim - 1 - d)
                   for d in range(dim)]                   # spatial-dim order
@@ -279,18 +289,23 @@ def assemble_ell_direct(go, x_lin=None, time=0.0, check=False):
             V = V * (1.0 - jnp.stack(colm).astype(dtype))
         return V
 
-    ell = EllMatrix(dims, k, offsets, build(x_lin), mask)
+    cache[key] = jax.jit(build)
+    ell = EllMatrix(dims, k, offsets, cache[key](x_lin), mask)
     if check:
-        rng = np.random.default_rng(0)
-        z = jnp.asarray(rng.standard_normal(space.ndofs), dtype)
-        y_ref = go.jacobian_apply(x_lin, z, time)
-        err = float(jnp.max(jnp.abs(ell(z) - y_ref)))
-        scale = float(jnp.max(jnp.abs(y_ref))) or 1.0
-        if err > 1e-5 * scale:
-            raise AssertionError(
-                f"direct ELL parity failure: max err {err:.3e} "
-                f"(scale {scale:.3e})")
+        _ell_direct_check(go, ell, x_lin, time)
     return ell
+
+
+def _ell_direct_check(go, ell, x_lin, time):
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal(go.space.ndofs), x_lin.dtype)
+    y_ref = go.jacobian_apply(x_lin, z, time)
+    err = float(jnp.max(jnp.abs(ell(z) - y_ref)))
+    scale = float(jnp.max(jnp.abs(y_ref))) or 1.0
+    if err > 1e-5 * scale:
+        raise AssertionError(
+            f"direct ELL parity failure: max err {err:.3e} "
+            f"(scale {scale:.3e})")
 
 
 def assemble_ell_device(go, x_lin=None, time=0.0):

@@ -90,7 +90,8 @@ class GridOperator:
     """
 
     def __init__(self, space, lop, constraints=None, quad_order=None,
-                 face_transfer: str = "auto", skip_boundary: bool = False):
+                 face_transfer: str = "auto", skip_boundary: bool = False,
+                 volume_qp_loop: bool | None = None):
         self.space = space
         self.lop = lop
         self.cg = constraints
@@ -138,6 +139,26 @@ class GridOperator:
         for lf in self.leaves:
             self._vol_tabs.append(self._make_tab(lf, qp, self.vol_geo))
         self._vol_weights = w
+
+        # qp-looped volume kernels: evaluate alpha/lambda_volume once per
+        # quadrature point with (E, 1)-shaped contexts instead of one
+        # (E, nqp)-batched call. Mathematically identical for
+        # qp-separable kernels (plain quadrature sums), but every
+        # intermediate is (E,)-sized, so XLA fuses the whole kernel into a
+        # few HBM streams — the batched form materializes (E, nqp, ...)
+        # temporaries (x, A(x), fluxes) that made general assembly
+        # ~10-20x off bandwidth at 16M+ elements. Auto-enabled for large
+        # uniform meshes when the LOP declares `qp_separable` (kernels
+        # that couple quadrature points, e.g. element-center evaluation
+        # via mean over qp, must keep the batched call).
+        if volume_qp_loop is None:
+            volume_qp_loop = (
+                getattr(lop, "qp_separable", False)
+                and getattr(mesh, "uniform", False)
+                and mesh.nelements >= 500_000
+                and all(len(t) <= 4 or t[4] is None
+                        for t in self._vol_tabs))   # scalar tabs only
+        self._qp_loop = bool(volume_qp_loop)
 
         # --- face precomputation -----------------------------------------
         self.has = {
@@ -734,6 +755,35 @@ class GridOperator:
             r = r.at[idx].add(rl.astype(r.dtype))
         return r
 
+    def _qp_sliced_ctx(self, vctx, q):
+        """Single-quadrature-point view of a volume context (qp-loop)."""
+        from dune_pdelab_tpu.ops.base import LeafTab, VolumeContext
+        tabs = tuple(LeafTab(
+            phi=None if t.phi is None else t.phi[q:q + 1],
+            grad=None if t.grad is None else t.grad[:, q:q + 1],
+            ref_grad=None if t.ref_grad is None else t.ref_grad[q:q + 1],
+            degree=t.degree) for t in vctx.tabs)
+        return VolumeContext(
+            weights=vctx.weights[q:q + 1],
+            x=vctx.x[:, q:q + 1],
+            factor=vctx.factor[:, q:q + 1],
+            tabs=tabs,
+            jac_inv_T=vctx.jac_inv_T,
+            cell_volume=vctx.cell_volume,
+            time=vctx.time)
+
+    def _vol_call(self, fn, vctx, *args):
+        """Volume kernel dispatch: batched, or per-qp summed (qp-loop)."""
+        if not self._qp_loop:
+            return fn(vctx, *args)
+        nqp = vctx.weights.shape[0]
+        acc = None
+        for q in range(nqp):
+            out = fn(self._qp_sliced_ctx(vctx, q), *args)
+            acc = out if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, out)
+        return acc
+
     def _scatter_vol(self, r, r_loc):
         for dm, rl in zip(self.dof_maps, self._pack(r_loc)):
             if self._sel_elem is not None:     # selective assembly mask
@@ -750,9 +800,11 @@ class GridOperator:
         u_leaf = [dm.gather(x) for dm in self.dof_maps]
         vctx = self._volume_ctx(time, dtype)
         if self.has["alpha_volume"]:
-            r = self._scatter_vol(r, lop.alpha_volume(vctx, self._uarg(u_leaf)))
+            r = self._scatter_vol(r, self._vol_call(
+                lop.alpha_volume, vctx, self._uarg(u_leaf)))
         if self.has["lambda_volume"]:
-            r = self._scatter_vol(r, lop.lambda_volume(vctx))
+            r = self._scatter_vol(r, self._vol_call(lop.lambda_volume,
+                                                    vctx))
         def face_scatter(r, transfers, r_loc, sel_w=None):
             for tr, rl in zip(transfers, self._pack(r_loc)):
                 if sel_w is not None:          # selective assembly mask

@@ -91,9 +91,27 @@ class DGTwoLevel:
         if coarse == "auto":
             coarse = "amg" if self._is_simplex else "gmg"
         self.coarse_kind = coarse
+        self.gmg_lattice = None
         if coarse == "gmg":
-            self.gmg = GeometricMultigrid(cg_lop, mesh, cg_fem,
-                                          bctype=bctype, **(gmg_kwargs or {}))
+            # stencil-resident lattice GMG for the CG coarse space when the
+            # mesh/operator qualify: no fine-level index maps, every level
+            # a compiled shift-MAC stencil — the general GeometricMultigrid
+            # (gather/scatter transfers) dominated the V-cycle at 2M+ DOFs
+            if not gmg_kwargs:   # explicit kwargs tune GeometricMultigrid
+                try:
+                    from dune_pdelab_tpu.linalg.gmg_lattice import LatticeGMG
+                    from dune_pdelab_tpu.space.space import (
+                        _leaf_boundary_dof_mask,
+                    )
+                    bmask = _leaf_boundary_dof_mask(self.V_cg)
+                    if bool(np.all(
+                            self.cg_cg.mask_np[np.nonzero(bmask)[0]])):
+                        self.gmg_lattice = LatticeGMG(self.V_cg, cg_lop)
+                except (ValueError, NotImplementedError, AssertionError):
+                    self.gmg_lattice = None
+            self.gmg = None if self.gmg_lattice is not None else \
+                GeometricMultigrid(cg_lop, mesh, cg_fem,
+                                   bctype=bctype, **(gmg_kwargs or {}))
             self._go_cg = None
         elif coarse == "amg":
             self.gmg = None
@@ -175,8 +193,16 @@ class DGTwoLevel:
                                blocks.shape)
         Dinv = jax.scipy.linalg.lu_solve((lu, piv), eye)      # (E, nb, nb)
         if self.coarse_kind == "gmg":
-            self.gmg.setup(None, 0.0)
-            gmg_apply = self.gmg._apply_jit
+            if self.gmg_lattice is not None:
+                gl = self.gmg_lattice
+                lmask = gl.stencils[0].mask
+
+                def gmg_apply(rc):
+                    # corrections vanish at (strongly) constrained CG dofs
+                    return gl._vcycle(0, jnp.where(lmask, 0.0, rc))
+            else:
+                self.gmg.setup(None, 0.0)
+                gmg_apply = self.gmg._apply_jit
         else:
             from dune_pdelab_tpu.linalg.amg import AlgebraicMultigrid
             self.amg = AlgebraicMultigrid(

@@ -134,6 +134,10 @@ class LocalOperator:
     alpha_boundary / lambda_boundary / alpha_skeleton. Attributes:
 
       is_linear:      alpha terms are linear in u (isLinear flag analog)
+      qp_separable:   volume kernels are plain quadrature sums (no
+                      cross-qp coupling such as element-center evaluation
+                      via a mean over qp) — enables the assembler's
+                      qp-looped fusion path on large uniform meshes
       quadrature_factor, quadrature_add: default quad order =
                       quadrature_factor * max_degree + quadrature_add
                       (intorderadd/quadrature_factor analog,
@@ -141,6 +145,7 @@ class LocalOperator:
     """
 
     is_linear = False
+    qp_separable = False
     quadrature_factor = 2
     quadrature_add = 0
 

@@ -103,6 +103,7 @@ class ConvectionDiffusionFEM(LocalOperator):
     dune/pdelab/localoperator/convectiondiffusionfem.hh:39)."""
 
     is_linear = True
+    qp_separable = True
 
     def __init__(self, problem: ConvectionDiffusionProblem, quadrature_add: int = 0):
         self.problem = problem

@@ -15,6 +15,7 @@ class L2(LocalOperator):
     """alpha_volume = ∫ scale * u v dx (scale may be a callable of x)."""
 
     is_linear = True
+    qp_separable = True
     quadrature_factor = 2
 
     def __init__(self, scale=1.0, quadrature_add: int = 0):

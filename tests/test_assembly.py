@@ -151,3 +151,43 @@ def test_mapped_mesh_geometry():
     ones = jnp.ones(V.ndofs)
     val = float(jnp.vdot(ones, go.jacobian_apply(ones, ones)))
     assert np.isclose(val, 1.0, atol=1e-12)   # boundary fixed => volume exact
+
+
+def test_qp_looped_volume_kernel_parity():
+    """The qp-looped fusion path (volume_qp_loop=True) is bit-equivalent
+    to the batched volume kernel for residual and jacobian_apply."""
+    import numpy as np
+    import jax.numpy as jnp
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+    )
+
+    class VC(ConvectionDiffusionProblem):
+        def A(self, x):
+            a = 1.0 + 0.5 * jnp.sin(3 * x[..., 0]) * x[..., 1]
+            return a[..., None, None] * jnp.eye(x.shape[-1], dtype=x.dtype)
+
+        def b(self, x):
+            return jnp.broadcast_to(jnp.array([0.3, -0.2], x.dtype), x.shape)
+
+        def c(self, x):
+            return 0.7 + x[..., 0]
+
+        def f(self, x):
+            return jnp.sin(x[..., 0]) + x[..., 1]
+
+    mesh = pt.StructuredMesh([0, 0], [1, 1], (24, 24))
+    for k in (1, 2):
+        V = pt.FunctionSpace(mesh, pt.QkFEM(k, 2))
+        kw = dict(constraints=pt.constraints(True, V), skip_boundary=True)
+        gob = pt.GridOperator(V, ConvectionDiffusionFEM(VC()),
+                              volume_qp_loop=False, **kw)
+        goq = pt.GridOperator(V, ConvectionDiffusionFEM(VC()),
+                              volume_qp_loop=True, **kw)
+        x = jnp.asarray(np.random.default_rng(k).standard_normal(V.ndofs))
+        z = jnp.asarray(np.random.default_rng(k + 9).standard_normal(V.ndofs))
+        assert float(jnp.max(jnp.abs(
+            gob.residual(x) - goq.residual(x)))) < 1e-13
+        assert float(jnp.max(jnp.abs(
+            gob.jacobian_apply(x, z) - goq.jacobian_apply(x, z)))) < 1e-13
