@@ -192,7 +192,17 @@ def adapt_local_simplex(space_old, x_old, marks):
     if space_old.fem.degree == 1:
         xnew = np.zeros(space_new.ndofs)
         xnew[:nv_old] = xv
-        xnew[np.asarray(mids)] = 0.5 * (xv[ends[:, 0]] + xv[ends[:, 1]])
+        # endpoints may reference earlier-created midpoints (3D multi-level
+        # closure); midpoints are in creation order, so resolve
+        # sequentially — vectorized per chain level (depth <= #closure
+        # passes, tiny)
+        mids = np.asarray(mids)
+        if len(mids):
+            for _ in range(64):
+                upd = 0.5 * (xnew[ends[:, 0]] + xnew[ends[:, 1]])
+                if np.array_equal(upd, xnew[mids]):
+                    break
+                xnew[mids] = upd
         return space_new, jnp.asarray(xnew, jnp.asarray(x_old).dtype)
 
     # Pk: evaluate old FE at every new nodal point through the parent map

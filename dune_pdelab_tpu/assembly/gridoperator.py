@@ -140,24 +140,22 @@ class GridOperator:
             self._vol_tabs.append(self._make_tab(lf, qp, self.vol_geo))
         self._vol_weights = w
 
-        # qp-looped volume kernels: evaluate alpha/lambda_volume once per
-        # quadrature point with (E, 1)-shaped contexts instead of one
-        # (E, nqp)-batched call. Mathematically identical for
-        # qp-separable kernels (plain quadrature sums), but every
-        # intermediate is (E,)-sized, so XLA fuses the whole kernel into a
-        # few HBM streams — the batched form materializes (E, nqp, ...)
-        # temporaries (x, A(x), fluxes) that made general assembly
-        # ~10-20x off bandwidth at 16M+ elements. Auto-enabled for large
-        # uniform meshes when the LOP declares `qp_separable` (kernels
-        # that couple quadrature points, e.g. element-center evaluation
-        # via mean over qp, must keep the batched call).
-        if volume_qp_loop is None:
-            volume_qp_loop = (
-                getattr(lop, "qp_separable", False)
-                and getattr(mesh, "uniform", False)
-                and mesh.nelements >= 500_000
-                and all(len(t) <= 4 or t[4] is None
-                        for t in self._vol_tabs))   # scalar tabs only
+        # qp-looped volume kernels (EXPERIMENTAL, opt-in): evaluate
+        # alpha/lambda_volume once per quadrature point with (E, 1)-shaped
+        # contexts instead of one (E, nqp)-batched call. Bit-identical for
+        # qp-separable kernels (plain quadrature sums). The hypothesis was
+        # that (E,)-sized intermediates fuse into fewer HBM streams than
+        # the (E, nqp, ...) temporaries of the batched form — MEASURED
+        # OTHERWISE on the v5e chip (Q1 3D varcoeff at 2M elements:
+        # 38 M elem-res/s qp-looped vs 61.5 batched; XLA rematerializes
+        # the coordinate/coefficient chain per qp instead of saving
+        # traffic), so it stays off unless volume_qp_loop=True is passed.
+        # Valid only for LOPs declaring `qp_separable` (kernels that
+        # couple quadrature points, e.g. element-center evaluation via a
+        # mean over qp, must keep the batched call).
+        if volume_qp_loop:
+            assert getattr(lop, "qp_separable", False), (
+                "volume_qp_loop requires a qp_separable LocalOperator")
         self._qp_loop = bool(volume_qp_loop)
 
         # --- face precomputation -----------------------------------------
@@ -332,7 +330,8 @@ class GridOperator:
         if fem.continuity == "Hdiv":
             if not self.mesh.uniform:
                 if self.mesh.geometry_type != "simplex":
-                    raise NotImplementedError("H(div) on mapped cube meshes")
+                    vecs, divs = self._mapped_cube_piola(fem, pts_ref)
+                    return (None, None, None, fem.degree, vecs, divs, None)
                 vecs, divs = self._simplex_piola(lf, pts_ref)
                 return (None, None, None, fem.degree, vecs, divs, None)
             h = self.mesh.h
@@ -343,7 +342,8 @@ class GridOperator:
         if fem.continuity == "Hcurl":
             if not self.mesh.uniform:
                 if self.mesh.geometry_type != "simplex":
-                    raise NotImplementedError("H(curl) on mapped cube meshes")
+                    vecs, curls = self._mapped_cube_covariant(fem, pts_ref)
+                    return (None, None, None, fem.degree, vecs, None, curls)
                 vecs, curls = self._simplex_covariant(lf, pts_ref)
                 return (None, None, None, fem.degree, vecs, None, curls)
             h = self.mesh.h
@@ -361,6 +361,58 @@ class GridOperator:
         else:
             gphys = (grads / self.mesh.h)[None]
         return (vals, gphys, grads, fem.degree, None, None, None)
+
+    def _mapped_cube_geometry(self, pts_ref, elements=None):
+        """Per-element Q1-map Jacobians at reference points on a mapped
+        (multilinear) cube mesh: J (E, q, d, d), detJ (E, q)."""
+        from dune_pdelab_tpu.fe.basis import _cached_fem
+        corners = self.mesh.element_corner_coords()          # (E, C, d)
+        if elements is not None:
+            corners = corners[elements]
+        geo = _cached_fem("QkFEM", 1, self.mesh.dim)
+        _, dN = geo.tabulate(pts_ref)                        # (q, C, d)
+        J = np.einsum("eci,qcj->eqij", corners, dN)          # (E, q, d, d)
+        detJ = np.linalg.det(J)
+        if np.any(detJ <= 0):
+            raise ValueError("mapped cube mesh has non-positive Jacobians "
+                             "(flipped/degenerate elements)")
+        return J, detJ
+
+    def _mapped_cube_piola(self, fem, pts_ref, elements=None):
+        """Contravariant Piola on multilinear cube elements: the transform
+        vec = J v_ref / det J, div = div_ref / det J holds EXACTLY for
+        non-affine maps (standard Piola identity), so per-qp Jacobians are
+        all that is needed. Orientation is the logical-lattice convention
+        of the structured H(div) DOF map — consistent without per-face
+        signs as in the uniform case, valid because the map is continuous
+        and orientation-preserving (detJ > 0 checked).
+        reference: the geometry-general Piola machinery of
+        dune/pdelab/finiteelementmap/raviartthomasfem.hh +
+        common/geometrywrapper.hh."""
+        J, detJ = self._mapped_cube_geometry(pts_ref, elements)
+        v_ref = fem.tabulate_vector(pts_ref)                 # (q, nb, d)
+        d_ref = fem.tabulate_div(pts_ref)                    # (q, nb)
+        vec = (np.einsum("eqij,qbj->eqbi", J, v_ref)
+               / detJ[:, :, None, None])
+        div = d_ref[None] / detJ[:, :, None]
+        return vec, div
+
+    def _mapped_cube_covariant(self, fem, pts_ref, elements=None):
+        """Covariant Piola (H(curl)) on multilinear cube elements:
+        vec = J^{-T} v_ref; curl = curl_ref / det J (2D scalar) or
+        J curl_ref / det J (3D vector) — exact identities for general
+        maps. reference: edges0.5fem.hh + geometry wrappers."""
+        J, detJ = self._mapped_cube_geometry(pts_ref, elements)
+        invT = np.linalg.inv(J).transpose(0, 1, 3, 2)        # (E, q, d, d)
+        v_ref = fem.tabulate_vector(pts_ref)                 # (q, nb, d)
+        c_ref = fem.tabulate_curl(pts_ref)
+        vec = np.einsum("eqij,qbj->eqbi", invT, v_ref)
+        if c_ref.ndim == 2:                                  # 2D scalar curl
+            curl = c_ref[None] / detJ[:, :, None]
+        else:                                                # 3D vector curl
+            curl = (np.einsum("eqij,qbj->eqbi", J, c_ref)
+                    / detJ[:, :, None, None])
+        return vec, curl
 
     def _simplex_piola(self, lf, pts_ref, elements=None):
         """Per-element contravariant Piola tabulation on affine simplices:

@@ -255,11 +255,27 @@ class AlgebraicMultigrid:
         self._apply = None
 
     # -- setup ---------------------------------------------------------------
-    def setup_from_csr(self, A, keep_host=False):
+    def setup_from_csr(self, A, keep_host=False, parts=None):
         """keep_host: also retain the hierarchy as host scipy CSRs
         (`self.host_levels` = [(A, P, R, diag, lmax), ...],
         `self.host_coarse` = dense coarse matrix) — consumed by
-        parallel.shardedamg.ShardedAMG."""
+        parallel.shardedamg.ShardedAMG.
+
+        parts: distributed-setup mode — partition each level's rows into
+        `parts` contiguous blocks and build the hierarchy with DECOUPLED
+        per-block aggregation (Tuminaro/Tong decoupled smoothed
+        aggregation: aggregates never span blocks) plus per-block
+        smoothed-prolongation and Galerkin RAP contributions. Every
+        per-block step reads only that block's A rows (plus the P rows its
+        column halo touches — the ParallelIndexSet comm of the reference's
+        parallel AMG, reference: dune/pdelab/backend/istl/
+        parallelhelper.hh:273-440 createIndexSetAndProjectForAMG), so the
+        per-block wall is O(nnz/parts); `self.setup_part_walls[level]`
+        records the measured per-block walls, and `setup_parts_report()`
+        extrapolates the distributed setup wall at larger N. Iteration
+        quality typically costs 0-2 extra Krylov iterations vs coupled
+        aggregation (seam aggregates are smaller)."""
+        import time as _time
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
@@ -270,22 +286,66 @@ class AlgebraicMultigrid:
         B = np.asarray(B, dtype)
         levels = []
         host = []
+        self.setup_parts = parts
+        self.setup_part_walls = []
         while (A.shape[0] > self.max_coarse
                and len(levels) < self.max_levels - 1):
             S = _strength_graph(A, self.theta)
             offdiag = A - sp.diags(A.diagonal())
             offdiag.eliminate_zeros()
             decoupled = np.diff(offdiag.tocsr().indptr) == 0
-            agg, n_agg = _aggregate(S, decoupled)
-            if n_agg == 0 or n_agg * B.shape[1] >= A.shape[0]:
-                break  # aggregation stalled (e.g. diagonal matrix)
-            P0, Bc = _tentative_prolongation(agg, n_agg, B)
             rho = _spectral_radius(A)
             d = A.diagonal()
             d = np.where(np.abs(d) > 0, d, 1.0)
-            Dinv = sp.diags(1.0 / d)
-            P = (P0 - (self.omega / rho) * (Dinv @ (A @ P0))).tocsr()
-            R = P.T.tocsr()
+            if parts and parts > 1 and A.shape[0] >= 4 * parts:
+                n = A.shape[0]
+                bounds = np.linspace(0, n, parts + 1).astype(np.int64)
+                agg = np.full(n, -2, np.int64)
+                n_agg = 0
+                walls = []
+                Sc = S.tocsr()
+                for p in range(parts):
+                    t0 = _time.perf_counter()
+                    r0, r1 = int(bounds[p]), int(bounds[p + 1])
+                    Sb = Sc[r0:r1, r0:r1]          # intra-block strength
+                    ab, na = _aggregate(Sb, decoupled[r0:r1])
+                    loc = ab >= 0
+                    agg[r0:r1][loc] = ab[loc] + n_agg
+                    n_agg += na
+                    walls.append(_time.perf_counter() - t0)
+                if n_agg == 0 or n_agg * B.shape[1] >= n:
+                    break
+                P0, Bc = _tentative_prolongation(agg, n_agg, B)
+                Dinv = sp.diags(1.0 / d)
+                # per-block smoothed P + Galerkin RAP contributions
+                P_blocks, rap = [], None
+                for p in range(parts):
+                    t0 = _time.perf_counter()
+                    r0, r1 = int(bounds[p]), int(bounds[p + 1])
+                    Ab = A[r0:r1]                  # block rows (full cols)
+                    Pb = (P0[r0:r1] - (self.omega / rho)
+                          * sp.diags(1.0 / d[r0:r1]) @ (Ab @ P0))
+                    P_blocks.append(Pb.tocsr())
+                    walls[p] += _time.perf_counter() - t0
+                P = sp.vstack(P_blocks).tocsr()
+                for p in range(parts):
+                    t0 = _time.perf_counter()
+                    r0, r1 = int(bounds[p]), int(bounds[p + 1])
+                    contrib = P[r0:r1].T @ (A[r0:r1] @ P)
+                    rap = contrib if rap is None else rap + contrib
+                    walls[p] += _time.perf_counter() - t0
+                A_next = rap.tocsr()
+                self.setup_part_walls.append(walls)
+                R = P.T.tocsr()
+            else:
+                agg, n_agg = _aggregate(S, decoupled)
+                if n_agg == 0 or n_agg * B.shape[1] >= A.shape[0]:
+                    break  # aggregation stalled (e.g. diagonal matrix)
+                P0, Bc = _tentative_prolongation(agg, n_agg, B)
+                Dinv = sp.diags(1.0 / d)
+                P = (P0 - (self.omega / rho) * (Dinv @ (A @ P0))).tocsr()
+                A_next = None
+                R = P.T.tocsr()
             lvl = _Level()
             lvl.n, lvl.nc = A.shape[0], P.shape[1]
             lvl.A_cols, lvl.A_vals = _csr_to_ell(A, dtype)
@@ -296,7 +356,7 @@ class AlgebraicMultigrid:
             levels.append(lvl)
             if keep_host:
                 host.append((A, P, R, d, float(rho)))
-            A = (R @ (A @ P)).tocsr()
+            A = A_next if A_next is not None else (R @ (A @ P)).tocsr()
             A.eliminate_zeros()
             B = Bc
         self._levels = levels
@@ -315,7 +375,7 @@ class AlgebraicMultigrid:
         return self
 
     def setup_from_grid_operator(self, go, x_lin=None, time=0.0,
-                                 keep_host=False):
+                                 keep_host=False, parts=None):
         """Assemble via the lattice-ELL path when the space qualifies
         (O(N*taps) memory), else the general BCOO jacobian."""
         import scipy.sparse as sp
@@ -334,7 +394,7 @@ class AlgebraicMultigrid:
             A = sp.coo_matrix(
                 (np.asarray(Abcoo.data), (ind[:, 0], ind[:, 1])),
                 shape=Abcoo.shape).tocsr()
-        return self.setup_from_csr(A, keep_host=keep_host)
+        return self.setup_from_csr(A, keep_host=keep_host, parts=parts)
 
     @classmethod
     def from_csr(cls, A, **kw):
@@ -402,3 +462,24 @@ class AlgebraicMultigrid:
         nnz = self._nnz_per_level
         return {"sizes": sizes, "nnz": nnz,
                 "operator_complexity": float(sum(nnz)) / max(nnz[0], 1)}
+
+    def setup_parts_report(self, target_n=None):
+        """Distributed-setup accounting (after setup_from_csr(parts=p)):
+        measured per-block setup walls per level, the critical path
+        (max block per level, summed), and an O(N)-extrapolated wall for
+        `target_n` rows on the same per-row rate."""
+        if not getattr(self, "setup_part_walls", None):
+            return None
+        crit = sum(max(w) for w in self.setup_part_walls)
+        total = sum(sum(w) for w in self.setup_part_walls)
+        n0 = self._levels[0].n if self._levels else 0
+        rep = {"parts": self.setup_parts,
+               "critical_path_s": crit,
+               "serial_equivalent_s": total,
+               "parallel_efficiency": total / (crit * self.setup_parts)
+               if crit else 0.0}
+        if target_n and n0:
+            rep["extrapolated_critical_path_s_at_target"] = (
+                crit * target_n / n0)
+            rep["target_n"] = target_n
+        return rep

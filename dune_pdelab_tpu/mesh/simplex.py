@@ -312,12 +312,21 @@ class SimplexMesh:
 
     # -- local refinement: newest-vertex bisection ---------------------------
     def oriented_for_bisection(self):
-        """Rotate each triangle so its LONGEST edge is opposite local vertex
-        0 (the initial refinement-edge assignment of newest-vertex
-        bisection), keeping positive orientation. Call once on the initial
-        mesh before the first `refine_bisection`."""
+        """Prepare the mesh for newest-vertex bisection. 2D: rotate each
+        triangle so its LONGEST edge is opposite local vertex 0, keeping
+        positive orientation. 3D: order each tetrahedron for Maubach's
+        tagged bisection — refinement edge (the longest, ties broken by
+        global vertex ids) at local positions (0, 3), the remaining two
+        vertices id-sorted in between, tag d — the classical longest-edge
+        initialization that is consistent across shared edges (exact for
+        Kuhn/`from_structured` meshes, where the cube diagonal is every
+        tet's longest edge). Call once before the first
+        `refine_bisection`."""
+        if self.dim == 3:
+            return self._oriented_for_bisection_3d()
         if self.dim != 2:
-            raise NotImplementedError("bisection refinement: 2D only")
+            raise NotImplementedError(
+                "bisection refinement: dim 2 and 3 only")
         cc = self.element_corner_coords()                    # (E, 3, 2)
         # edge opposite vertex l has length |v_{l+1} - v_{l+2}|
         lens = np.stack([
@@ -362,8 +371,11 @@ class SimplexMesh:
         midpoint_vertex_ids, edge_endpoint_ids (nmid, 2)) for nodal solution
         transfer (P1: value at midpoint = mean of endpoints).
         """
+        if self.dim == 3:
+            return self._refine_bisection_3d(marks)
         if self.dim != 2:
-            raise NotImplementedError("bisection refinement: 2D only")
+            raise NotImplementedError(
+                "bisection refinement: dim 2 and 3 only")
         marks = np.asarray(marks)
         if marks.dtype == bool:
             marks = np.nonzero(marks)[0]
@@ -429,6 +441,140 @@ class SimplexMesh:
         mesh._boundary_vertices = vb
         transfer = (nv, mid_of[split_ids], uniq_e[split_ids])
         return mesh, transfer
+
+    # -- 3D: Maubach tagged bisection -----------------------------------------
+    def _oriented_for_bisection_3d(self):
+        cc = self.element_corner_coords()                    # (E, 4, 3)
+        cells = np.asarray(self.cells)
+        E = len(cells)
+        # longest edge per tet, ties broken by (sorted global id pair)
+        pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        lens = np.stack([np.linalg.norm(cc[:, a] - cc[:, b], axis=1)
+                         for a, b in pairs], axis=1)
+        gid = np.stack([np.sort(cells[:, [a, b]], axis=1)
+                        for a, b in pairs], axis=1)          # (E, 6, 2)
+        # argmax with deterministic tie-break: longest, then smallest ids
+        key = (np.round(lens / lens.max() * 1e12).astype(np.int64),
+               -gid[:, :, 0], -gid[:, :, 1])
+        order = np.lexsort((key[2], key[1], key[0]), axis=1)
+        best = order[:, -1]                                  # (E,)
+        new_cells = np.empty_like(cells)
+        for e in range(E):
+            a, b = pairs[best[e]]
+            v0, vd = cells[e, a], cells[e, b]
+            if v0 > vd:
+                v0, vd = vd, v0
+            rest = sorted(set(cells[e]) - {v0, vd})
+            new_cells[e] = (v0, rest[0], rest[1], vd)
+        m = SimplexMesh(self.vertices, new_cells,
+                        boundary_vertices=self._boundary_vertices,
+                        lower=self.lower, upper=self.upper)
+        m.bisect_tag = np.full(E, 3, np.int64)
+        return m
+
+    def _refine_bisection_3d(self, marks):
+        """Maubach's tagged newest-vertex bisection for tetrahedra with
+        conforming closure (Maubach 1995; Stevenson 2008 compatibility).
+        Simplex (x0..x3, tag k): refinement edge (x0, x3), midpoint z;
+        children (x0, body[:k-1], z, body[k-1:]) and
+        (x3, body[:k-1], z, body[k-1:]) with tag k-1 (wrapping to d).
+        Closure: bisect any tet containing an already-split edge (by its
+        OWN refinement edge), repeat to fixpoint — conforming, no hanging
+        nodes. reference counterpart: `grid.adapt()` on simplicial grids
+        driven by dune/pdelab/adaptivity/adaptivity.hh:632, which is
+        dimension-generic over the grid manager.
+
+        Transfer note: with multi-level closure a midpoint's edge
+        endpoints may themselves be (earlier-created) midpoints; consumers
+        must resolve values in creation order (adaptivity/local.py does).
+        """
+        d = 3
+        marks = np.asarray(marks)
+        if marks.dtype == bool:
+            marks = np.nonzero(marks)[0]
+        if not hasattr(self, "bisect_tag"):
+            raise ValueError(
+                "3D bisection needs Maubach tags: call "
+                "oriented_for_bisection() on the initial mesh first")
+        tags = np.asarray(self.bisect_tag)
+        cells = [tuple(int(v) for v in c) for c in self.cells]
+        ctags = [int(t) for t in tags]
+        parents = list(range(self.nelements))
+        nv = self.nvertices
+        coords = [None]                       # lazy: old coords stay put
+        mid = {}                              # (a<b) edge -> new vertex id
+        mid_order = []                        # creation order (keys)
+        new_coords = []
+
+        def vcoord(i):
+            return (self.vertices[i] if i < nv
+                    else new_coords[i - nv])
+
+        def midpoint(a, b):
+            key = (a, b) if a < b else (b, a)
+            z = mid.get(key)
+            if z is None:
+                z = nv + len(new_coords)
+                mid[key] = z
+                mid_order.append(key)
+                new_coords.append(0.5 * (vcoord(key[0]) + vcoord(key[1])))
+            return z
+
+        def has_split_edge(c):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    a, b = c[i], c[j]
+                    if ((a, b) if a < b else (b, a)) in mid:
+                        return True
+            return False
+
+        def bisect_one(c, k, par):
+            z = midpoint(c[0], c[3])
+            body = c[1:3]
+            c1 = (c[0],) + body[:k - 1] + (z,) + body[k - 1:]
+            c2 = (c[3],) + body[:k - 1] + (z,) + body[k - 1:]
+            nk = k - 1 if k > 1 else d
+            return (c1, nk, par), (c2, nk, par)
+
+        work = set(int(e) for e in marks)
+        for _pass in range(200):
+            if work:
+                nxt_cells, nxt_tags, nxt_par = [], [], []
+                for i, (c, k, p) in enumerate(zip(cells, ctags, parents)):
+                    if i in work:
+                        (c1, k1, p1), (c2, k2, p2) = bisect_one(c, k, p)
+                        nxt_cells += [c1, c2]
+                        nxt_tags += [k1, k2]
+                        nxt_par += [p1, p2]
+                    else:
+                        nxt_cells.append(c)
+                        nxt_tags.append(k)
+                        nxt_par.append(p)
+                cells, ctags, parents = nxt_cells, nxt_tags, nxt_par
+            # closure: any cell containing a split edge bisects next round
+            work = {i for i, c in enumerate(cells) if has_split_edge(c)}
+            if not work:
+                break
+        else:
+            raise RuntimeError(
+                "3D bisection closure did not terminate in 200 passes — "
+                "initial mesh tags are incompatible; re-run "
+                "oriented_for_bisection() on the coarse mesh or coarsen "
+                "the marking")
+
+        new_verts = np.concatenate(
+            [self.vertices, np.asarray(new_coords).reshape(-1, 3)], axis=0)
+        mesh = SimplexMesh(new_verts, np.asarray(cells, np.int64),
+                           lower=self.lower, upper=self.upper)
+        mesh.parent_cells = np.asarray(parents, np.int64)
+        mesh.bisect_tag = np.asarray(ctags, np.int64)
+        uniq_f, _, counts = mesh.faces()
+        vb = np.zeros(len(new_verts), dtype=bool)
+        vb[uniq_f[counts == 1].ravel()] = True
+        mesh._boundary_vertices = vb
+        mids = np.asarray([mid[k] for k in mid_order], np.int64)
+        ends = np.asarray(mid_order, np.int64).reshape(-1, 2)
+        return mesh, (nv, mids, ends)
 
     def __repr__(self):
         return (f"SimplexMesh(dim={self.dim}, nelements={self.nelements}, "

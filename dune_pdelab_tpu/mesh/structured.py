@@ -192,9 +192,33 @@ class StructuredMesh:
 
     # -- refinement ----------------------------------------------------------
     def refine(self, factor: int = 2) -> "StructuredMesh":
-        """Uniformly refined mesh (global refinement analog of grid.globalRefine)."""
+        """Uniformly refined mesh (global refinement analog of
+        grid.globalRefine). Mapped meshes refine by per-axis linear
+        interpolation of the vertex coordinate grid — new vertices lie at
+        parameter midpoints ON the parent Q1 surface, so the refined
+        multilinear geometry reproduces the coarse geometry exactly
+        (reference analog: geometry refinement through the grid manager,
+        common/geometrywrapper.hh)."""
         if self.coords is not None:
-            raise NotImplementedError("refinement of mapped meshes")
+            grid = self.coords.reshape(
+                tuple(reversed(self.vdims)) + (self.dim,))
+            for ax in range(self.dim):
+                n = grid.shape[ax]
+                new_n = (n - 1) * factor + 1
+                t = np.linspace(0.0, n - 1.0, new_n)
+                i0 = np.minimum(np.floor(t).astype(np.int64), n - 2)
+                w = t - i0
+                g0 = np.take(grid, i0, axis=ax)
+                g1 = np.take(grid, i0 + 1, axis=ax)
+                wshape = [1] * grid.ndim
+                wshape[ax] = new_n
+                w = w.reshape(wshape)
+                grid = g0 * (1.0 - w) + g1 * w
+            return StructuredMesh(
+                self.lower, self.upper,
+                tuple(c * factor for c in self.cells),
+                periodic=self.periodic,
+                coords=grid.reshape(-1, self.dim))
         return StructuredMesh(
             self.lower, self.upper,
             tuple(c * factor for c in self.cells),
@@ -202,9 +226,20 @@ class StructuredMesh:
         )
 
     def coarsen(self, factor: int = 2) -> "StructuredMesh":
-        """Uniformly coarsened mesh (for geometric multigrid hierarchies)."""
+        """Uniformly coarsened mesh (for geometric multigrid hierarchies).
+        Mapped meshes keep every factor-th vertex plane (the standard
+        nested-corner coarse geometry of geometric multigrid)."""
         if any(c % factor for c in self.cells):
             raise ValueError(f"cells {self.cells} not divisible by {factor}")
+        if self.coords is not None:
+            grid = self.coords.reshape(
+                tuple(reversed(self.vdims)) + (self.dim,))
+            sl = tuple(slice(None, None, factor) for _ in range(self.dim))
+            return StructuredMesh(
+                self.lower, self.upper,
+                tuple(c // factor for c in self.cells),
+                periodic=self.periodic,
+                coords=grid[sl].reshape(-1, self.dim))
         return StructuredMesh(
             self.lower, self.upper,
             tuple(c // factor for c in self.cells),

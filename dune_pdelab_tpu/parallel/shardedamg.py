@@ -212,10 +212,22 @@ class ShardedAMG:
 
     @classmethod
     def from_grid_operator(cls, go, x_lin=None, time=0.0, devices=None,
-                           axis_name="shard", **amg_kw):
+                           axis_name="shard", setup_parts=None, **amg_kw):
+        """setup_parts: build the hierarchy with the DISTRIBUTED setup
+        (decoupled per-partition aggregation + per-partition smoothed-P
+        and RAP, linalg/amg.py setup_from_csr(parts=...)) — by default one
+        partition per device, so the setup partitioning matches the cycle
+        sharding. Pass setup_parts=1 to force the coupled serial setup.
+        reference: parallelhelper.hh:273-440 (the ParallelIndexSet the
+        reference's distributed AMG setup runs over)."""
         from dune_pdelab_tpu.linalg.amg import AlgebraicMultigrid
+        if setup_parts is None:
+            ndev = len(devices) if devices is not None else len(
+                jax.devices())
+            setup_parts = ndev if ndev > 1 else None
         amg = AlgebraicMultigrid(**amg_kw).setup_from_grid_operator(
-            go, x_lin, time, keep_host=True)
+            go, x_lin, time, keep_host=True,
+            parts=setup_parts if setup_parts and setup_parts > 1 else None)
         return cls(amg, devices=devices, axis_name=axis_name)
 
     # ---- the jitted sharded V-cycle ----------------------------------------

@@ -294,49 +294,51 @@ def test_rebalance_mid_solve():
     assert float(jnp.linalg.norm(x_fin - x_ref)) < 1e-8
 
 
-def test_novlp_data_handles():
-    """Generic data handles on the block-sharded layout: Copy delivers the
-    ghost windows, Add/Min/Max reduce window contributions onto owners
-    (genericdatahandle.hh:646-790 policies)."""
-    from dune_pdelab_tpu.parallel.novlp import NonoverlappingShardedGridOperator
+def test_data_handle_policies():
+    """Generic data-handle reduction policies (Add/Copy/Min/Max,
+    reference: gridfunctionspace/genericdatahandle.hh:646-790) through the
+    comm module's neighborwise plane exchange under shard_map, plus the
+    windowed operator's owner-window Copy roundtrip."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from dune_pdelab_tpu.parallel.comm import exchange_planes
+    from dune_pdelab_tpu.parallel.windowed import WindowShardedGridOperator
 
+    nd = 4
+    devs = np.asarray(jax.devices()[:nd])
+    mesh_dev = Mesh(devs, ("blk",))
+    x = jnp.arange(nd * 3, dtype=jnp.float64)
+
+    def run(policy):
+        @partial(shard_map, mesh=mesh_dev, in_specs=P("blk"),
+                 out_specs=(P("blk"), P("blk")))
+        def f(loc):
+            rp, rn = exchange_planes(loc, "blk", nd, policy=policy)
+            return rp, rn
+        return f(x)
+
+    rp, rn = run("copy")
+    # shard d receives prev shard's LAST plane and next shard's FIRST
+    rp, rn = np.asarray(rp), np.asarray(rn)
+    for d in range(nd):
+        expect_prev = (3 * d - 1) if d > 0 else 0.0
+        expect_next = (3 * (d + 1)) if d < nd - 1 else 0.0
+        assert rp[d] == expect_prev and rn[d] == expect_next
+    rp_min, rn_min = run("min")
+    rp_min, rn_min = np.asarray(rp_min), np.asarray(rn_min)
+    for d in range(nd):
+        own_first, own_last = 3 * d, 3 * d + 2
+        expect_prev = min((3 * d - 1) if d > 0 else 0.0, own_first)
+        expect_next = min((3 * (d + 1)) if d < nd - 1 else 0.0, own_last)
+        assert rp_min[d] == expect_prev and rn_min[d] == expect_next
+
+    # windowed owner-window roundtrip: Copy semantics are the identity
     V, go = _ops(n=8, dim=2, k=1)
-    ngo = NonoverlappingShardedGridOperator(go, devices=jax.devices()[:4])
-    B, H, nd = ngo.B, ngo.H, ngo.ndev
+    w = WindowShardedGridOperator(go, devices=jax.devices()[:4])
     rng = np.random.default_rng(7)
-    x = rng.standard_normal(nd * B)
-    xp = jax.device_put(jnp.asarray(x), ngo.sharding)
-    # copy: each shard's window equals the global slice [dB-H, (d+1)B+H)
-    win = np.asarray(ngo.exchange_window_padded(xp))
-    W = B + 2 * H
-    for d in range(nd):
-        lo = d * B - H
-        expect = np.zeros(W)
-        for j in range(W):
-            g = lo + j
-            if 0 <= g < nd * B:
-                expect[j] = x[g]
-        assert np.allclose(win[d * W:(d + 1) * W], expect)
-    # min: windows filled with shard-dependent values; owner keeps the min
-    # of all contributions covering its row
-    contribs = np.zeros(nd * W)
-    for d in range(nd):
-        contribs[d * W:(d + 1) * W] = d + 1.0
-    cp = jax.device_put(jnp.asarray(contribs), ngo.sharding)
-    out = np.asarray(ngo.combine_window_padded(cp, policy="min"))
-    expect = np.zeros(nd * B)
-    for g in range(nd * B):
-        vals = [d + 1.0 for d in range(nd)
-                if d * B - H <= g < (d + 1) * B + H]
-        expect[g] = min(vals)
-    assert np.allclose(out, expect)
-    # add matches the residual border-sum semantics
-    out_add = np.asarray(ngo.combine_window_padded(cp, policy="add"))
-    expect_add = np.zeros(nd * B)
-    for g in range(nd * B):
-        expect_add[g] = sum(d + 1.0 for d in range(nd)
-                            if d * B - H <= g < (d + 1) * B + H)
-    assert np.allclose(out_add, expect_add)
+    xx = rng.standard_normal(V.ndofs)
+    assert np.allclose(np.asarray(w.gather(w.device_put(xx))), xx)
 
 
 def test_novlp_newton_nonlinear_parity():
