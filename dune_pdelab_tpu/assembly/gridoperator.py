@@ -493,20 +493,68 @@ class GridOperator:
                     lo=(0 if s == 0 else c_a - 1),
                     hi_off=(1 - c_a if s == 0 else 0))
                 g.tr_out = None
-                fgeo = FaceGeometry(mesh, a, qpf, wf)
                 pts = embed_face_points(qpf, a, s, mesh.dim)
-                g.tabs_in = self._tab_at(pts, fgeo)
-                g.tabs_out = None
-                g.factor = fgeo.factor
-                n = np.zeros(mesh.dim)
-                n[a] = 2.0 * s - 1.0
-                g.normal = n
-                g.h_in = fgeo.h_normal
-                g.h_out = None
                 g.weights = wf
-                origins = (mesh.lower + mesh.element_multi_index() * mesh.h)[g.elements]
-                g.x = origins[:, None, :] + (pts * mesh.h)[None]
+                if mesh.uniform:
+                    fgeo = FaceGeometry(mesh, a, qpf, wf)
+                    g.tabs_in = self._tab_at(pts, fgeo)
+                    g.factor = fgeo.factor
+                    n = np.zeros(mesh.dim)
+                    n[a] = 2.0 * s - 1.0
+                    g.normal = n
+                    g.h_in = fgeo.h_normal
+                    origins = (mesh.lower
+                               + mesh.element_multi_index() * mesh.h)[
+                                   g.elements]
+                    g.x = origins[:, None, :] + (pts * mesh.h)[None]
+                else:
+                    self._mapped_boundary_geometry(g, pts, wf)
+                g.tabs_out = None
+                g.h_out = None
                 self.bnd_groups.append(g)
+
+    def _mapped_boundary_geometry(self, g, pts, wf):
+        """Per-face geometry + tabs for a boundary group on a MAPPED
+        (multilinear) cube mesh. Nanson's formula gives the outward normal
+        and surface measure in one step: n dS = det J * J^{-T} N dS_ref
+        with N = +-e_axis the reference outward normal — exact for
+        non-affine Q1 maps. Gradients/Piola tabs are per-face per-qp.
+        reference: IntersectionGeometry over general geometries
+        (common/geometrywrapper.hh; default/assembler.hh face sweep)."""
+        mesh = self.mesh
+        dim = mesh.dim
+        el = g.elements
+        J, detJ = self._mapped_cube_geometry(pts, elements=el)  # (F,q,d,d)
+        invT = np.linalg.inv(J).transpose(0, 1, 3, 2)
+        Nref = np.zeros(dim)
+        Nref[g.axis] = 2.0 * g.side - 1.0
+        nvec = np.einsum("fqij,j->fqi", invT, Nref)
+        scale = np.linalg.norm(nvec, axis=-1)                   # (F, q)
+        g.normal = nvec / scale[..., None]                      # (F, q, d)
+        g.factor = wf[None, :] * detJ * scale                   # (F, q)
+        from dune_pdelab_tpu.fe.basis import _cached_fem
+        geoQ1 = _cached_fem("QkFEM", 1, dim)
+        N, _ = geoQ1.tabulate(pts)                              # (q, C)
+        corners = mesh.element_corner_coords()[el]              # (F, C, d)
+        g.x = np.einsum("qc,fcd->fqd", N, corners)              # (F, q, d)
+        area = (wf[None, :] * detJ * scale).sum(axis=1)
+        cellvol = np.asarray(self.vol_geo.cell_volume)[el]
+        g.h_in = cellvol / np.maximum(area, 1e-300)             # (F,)
+        tabs = []
+        for lf in self.leaves:
+            fem = lf.fem
+            if fem.continuity == "Hdiv":
+                vec, dv = self._mapped_cube_piola(fem, pts, elements=el)
+                tabs.append((None, None, None, fem.degree, vec, dv, None))
+                continue
+            if fem.continuity == "Hcurl":
+                vec, cl = self._mapped_cube_covariant(fem, pts, elements=el)
+                tabs.append((None, None, None, fem.degree, vec, None, cl))
+                continue
+            vals, gref = fem.tabulate(pts)
+            gphys = np.einsum("fqij,qbj->fqbi", invT, gref)
+            tabs.append((vals, gphys, gref, fem.degree, None, None, None))
+        g.tabs_in = tabs
 
     def _build_skeleton_groups(self, leaf_maps):
         mesh = self.mesh

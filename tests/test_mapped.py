@@ -1,0 +1,203 @@
+"""Mapped (multilinear) cube meshes: refinement, boundary-face geometry
+(Nanson), and Piola-mapped vector elements — closing the round-3 geometry
+restrictions (H(div)/H(curl) raised on mapped cube meshes; mapped meshes
+could not refine; boundary integrals raised).
+
+reference: the geometry-general machinery the C++ code gets for free from
+dune-geometry (common/geometrywrapper.hh,
+finiteelementmap/raviartthomasfem.hh)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dune_pdelab_tpu import (
+    FunctionSpace, GridOperator, constraints,
+    StationaryLinearProblemSolver, interpolate_dirichlet,
+)
+from dune_pdelab_tpu.fe.basis import QkFEM, P0FEM
+from dune_pdelab_tpu.fe.hdiv import RT0Cube
+from dune_pdelab_tpu.mesh.structured import StructuredMesh
+from dune_pdelab_tpu.ops import (
+    ConvectionDiffusionProblem, ConvectionDiffusionFEM,
+)
+from dune_pdelab_tpu.ops.convectiondiffusion import BCType
+from dune_pdelab_tpu.ops.diffusionmixed import DiffusionMixed
+from dune_pdelab_tpu.solvers import LinearSolverBackend
+from dune_pdelab_tpu.space.space import CompositeSpace
+from dune_pdelab_tpu.space.functions import l2_difference
+
+
+def annulus(n):
+    """Quarter annulus 1 <= r <= 2 as a mapped (n, n) quad mesh."""
+    idx = np.arange((n + 1) * (n + 1))
+    i0 = (idx % (n + 1)) / n
+    i1 = (idx // (n + 1)) / n
+    r = 1.0 + i0
+    th = 0.5 * np.pi * i1
+    coords = np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+    return StructuredMesh([0, 0], [1, 1], (n, n), coords=coords)
+
+
+def identity_mapped(n, dim=2):
+    """Coords equal to the uniform lattice: the mapped code paths must
+    reproduce the uniform fast paths exactly."""
+    uni = StructuredMesh([0] * dim, [1] * dim, (n,) * dim)
+    vd = uni.vdims
+    idx = np.arange(uni.nvertices)
+    coords = np.empty((uni.nvertices, dim))
+    rem = idx
+    for d in range(dim):
+        coords[:, d] = (rem % vd[d]) / n
+        rem = rem // vd[d]
+    return uni, StructuredMesh([0] * dim, [1] * dim, (n,) * dim,
+                               coords=coords)
+
+
+class Harmonic(ConvectionDiffusionProblem):
+    def exact(self, p):
+        return p[:, 0] ** 2 - p[:, 1] ** 2
+
+    def f(self, x):
+        return jnp.zeros(x.shape[:-1])
+
+    def g(self, x):
+        return x[..., 0] ** 2 - x[..., 1] ** 2
+
+
+@pytest.mark.fast
+def test_mapped_refine_exact_and_nested():
+    m = annulus(4)
+    mf = m.refine()
+    gridf = mf.coords.reshape(9, 9, 2)
+    gridc = m.coords.reshape(5, 5, 2)
+    assert np.allclose(gridf[::2, ::2], gridc)          # nested corners
+    assert np.allclose(gridf[0, 1], 0.5 * (gridc[0, 0] + gridc[0, 1]))
+    assert np.allclose(mf.coarsen().coords, m.coords)
+
+
+@pytest.mark.fast
+def test_mapped_matches_uniform_on_identity_map():
+    """Residual/jacobian parity: a mapped mesh whose coords ARE the
+    uniform lattice runs the per-element geometry paths (volume, boundary
+    faces, H(div) Piola) and must agree with the uniform fast paths."""
+    p = Harmonic()
+
+    class WithNeumann(Harmonic):
+        def bctype(self, x):
+            return jnp.where(x[..., 0] > 1 - 1e-9,
+                             BCType.NEUMANN, BCType.DIRICHLET)
+
+        def j(self, x):
+            return -2.0 * x[..., 0]
+
+    uni, mapped = identity_mapped(8)
+    pn = WithNeumann()
+    for mesh_pair_p in ((uni, mapped),):
+        xs = []
+        for mesh in mesh_pair_p:
+            V = FunctionSpace(mesh, QkFEM(1, 2))
+            cg_ = constraints(pn.dirichlet_bctype(), V)
+            go = GridOperator(V, ConvectionDiffusionFEM(pn),
+                              constraints=cg_)
+            x = jnp.asarray(
+                np.random.default_rng(0).standard_normal(V.ndofs))
+            xs.append((go.residual(x), go.jacobian_apply(x, x)))
+        assert float(jnp.max(jnp.abs(xs[0][0] - xs[1][0]))) < 1e-12
+        assert float(jnp.max(jnp.abs(xs[0][1] - xs[1][1]))) < 1e-12
+
+    # H(div) mixed operator parity on the identity map
+    xs = []
+    for mesh in (uni, mapped):
+        Vu = FunctionSpace(mesh, RT0Cube(2), name="u")
+        Vp = FunctionSpace(mesh, P0FEM(2), name="p")
+        W = CompositeSpace(Vu, Vp)
+        go = GridOperator(W, DiffusionMixed(Harmonic()))
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(W.ndofs))
+        xs.append(go.residual(x))
+    assert float(jnp.max(jnp.abs(xs[0] - xs[1]))) < 1e-12
+
+
+@pytest.mark.fast
+def test_curved_dirichlet_poisson_h2():
+    p = Harmonic()
+    errs = []
+    for n in (8, 16, 32):
+        mesh = annulus(n)
+        V = FunctionSpace(mesh, QkFEM(1, 2))
+        cg_ = constraints(p.dirichlet_bctype(), V)
+        go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_,
+                          skip_boundary=True)
+        ls = LinearSolverBackend(solver="cg", precond="jacobi",
+                                 maxiter=8000)
+        slp = StationaryLinearProblemSolver(go, ls, reduction=1e-12,
+                                            verbose=0)
+        x0 = interpolate_dirichlet(
+            lambda q: np.asarray(p.g(jnp.asarray(q))), V, cg_, V.zero())
+        errs.append(float(l2_difference(V, slp.apply(x0), p.exact)))
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 1.85, (errs, orders)
+
+
+@pytest.mark.fast
+def test_curved_neumann_arc_converges():
+    """Neumann flux on the curved outer arc (Nanson normals). The
+    polygonal approximation of the circular arc is a standard variational
+    crime: order drops below 2 but the solve must still converge
+    monotonically at order > 1.2."""
+    class P(Harmonic):
+        def bctype(self, x):
+            r2 = x[..., 0] ** 2 + x[..., 1] ** 2
+            return jnp.where(r2 > 3.9, BCType.NEUMANN, BCType.DIRICHLET)
+
+        def j(self, x):
+            r = jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+            return -(2 * x[..., 0] ** 2 - 2 * x[..., 1] ** 2) / r
+
+    p = P()
+    errs = []
+    for n in (8, 16, 32):
+        mesh = annulus(n)
+        V = FunctionSpace(mesh, QkFEM(1, 2))
+        cg_ = constraints(p.dirichlet_bctype(), V)
+        go = GridOperator(V, ConvectionDiffusionFEM(p), constraints=cg_)
+        ls = LinearSolverBackend(solver="cg", precond="jacobi",
+                                 maxiter=8000)
+        slp = StationaryLinearProblemSolver(go, ls, reduction=1e-12,
+                                            verbose=0)
+        x0 = interpolate_dirichlet(
+            lambda q: np.asarray(p.g(jnp.asarray(q))), V, cg_, V.zero())
+        errs.append(float(l2_difference(V, slp.apply(x0), p.exact)))
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 1.2, (errs, orders)
+
+
+@pytest.mark.fast
+@pytest.mark.slow
+def test_mixed_darcy_curved_mesh_h2():
+    """RT0/P0 mixed Darcy on the quarter annulus: mapped contravariant
+    Piola + Nanson boundary term; cell-center pressure superconverges at
+    O(h^2) (the VERDICT r3 'mixed-Darcy convergence on a curved quad
+    mesh' criterion)."""
+    class P(Harmonic):
+        def p_exact(self, q):
+            return q[:, 0] ** 2 - q[:, 1] ** 2
+
+    p = P()
+    errs = []
+    for n in (8, 16, 32):
+        mesh = annulus(n)
+        Vu = FunctionSpace(mesh, RT0Cube(2), name="u")
+        Vp = FunctionSpace(mesh, P0FEM(2), name="p")
+        W = CompositeSpace(Vu, Vp)
+        go = GridOperator(W, DiffusionMixed(p))
+        ls = LinearSolverBackend(solver="minres", precond="none",
+                                 maxiter=40000)
+        slp = StationaryLinearProblemSolver(go, ls, reduction=1e-11,
+                                            verbose=0)
+        x = slp.apply(W.zero())
+        assert slp.result.converged
+        xp = np.asarray(W.restrict(x, 1))
+        errs.append(float(np.sqrt(np.mean(
+            (xp - p.p_exact(mesh.element_centers())) ** 2))))
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 1.85, (errs, orders)
