@@ -267,7 +267,13 @@ class CFLTimeController(TimeControllerInterface):
     def suggest_timestep(self, time, dt, x) -> float:
         lop = self.go0.lop
         if hasattr(lop, "max_speed"):
-            smax = float(lop.max_speed(x))
+            try:
+                # sample position-dependent velocity fields at element
+                # centers (ADVICE r3: a single-point probe can
+                # underestimate the CFL-critical speed)
+                smax = float(lop.max_speed(x, mesh=self.go0.mesh))
+            except TypeError:       # LOPs with the old (x) signature
+                smax = float(lop.max_speed(x))
             h = float(np.min(self.go0.mesh.h))
             if smax > 0:
                 return min(dt, self.cfl * h / smax)

@@ -522,6 +522,57 @@ def config12_simplex_amg(cells=32, reduction=1e-10):
             "ndofs": V.ndofs, "converged": slp.result.converged}
 
 
+def config13_scale_lattice_gmg(cells=128, reduction=1e-10):
+    """(13) At-scale golden: 3D Poisson Q1 at cells^3 (default 128^3 =
+    2.15M DOFs) through the north-star solve path — lattice-GMG-
+    preconditioned CG on the compiled stencil — PLUS a window-sharded
+    residual cross-check on the full device set. Pinned to catch
+    scale-dependent regressions (padding, windows, stencil classes) that
+    the toy-sized goldens cannot see (VERDICT r3 item 9)."""
+    import jax
+    from dune_pdelab_tpu import interpolate_dirichlet
+    from dune_pdelab_tpu.assembly.gridoperator import GridOperator
+    from dune_pdelab_tpu.assembly.stencil import compile_stencil
+    from dune_pdelab_tpu.linalg.gmg_lattice import LatticeGMG
+    from dune_pdelab_tpu.constraints.dirichlet import (
+        constraints as make_constraints,
+    )
+    from dune_pdelab_tpu.space.space import FunctionSpace
+    from dune_pdelab_tpu.fe.basis import QkFEM
+    from dune_pdelab_tpu.mesh.structured import StructuredMesh
+    from dune_pdelab_tpu.parallel.windowed import WindowShardedGridOperator
+
+    p = _Sine3D()
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (cells,) * 3)
+    V = FunctionSpace(mesh, QkFEM(1, 3))
+    cg_ = make_constraints(p.dirichlet_bctype(), V)
+    lop = ConvectionDiffusionFEM(p)
+    go = GridOperator(V, lop, constraints=cg_)
+    x0 = interpolate_dirichlet(lambda q: np.asarray(p.g(jnp.asarray(q))),
+                               V, cg_, V.zero())
+    b = -go.residual(x0, 0.0)
+    st = compile_stencil(go)
+    gmg = LatticeGMG(V, lop, fine_stencil=st)
+    z, info = gmg.solve_host(b, tol=reduction, maxiter=60)
+    x = x0 + z
+    out = {"l2_error": float(l2_difference(V, x, p.exact)),
+           "iterations": int(info["iterations"]),
+           "true_rel_defect": info["true_defect"] / info["defect0"],
+           "levels": gmg.nlevels,
+           "ndofs": V.ndofs, "converged": bool(info["converged"])}
+    # window-sharded residual parity at scale (8-device virtual mesh in
+    # the recording environment; whatever jax.devices() offers here)
+    ndev = len(jax.devices())
+    if ndev > 1:
+        wgo = WindowShardedGridOperator(go, devices=jax.devices())
+        rw = wgo.residual(x)
+        rs = go.residual(x)
+        maxdiff = float(jnp.max(jnp.abs(rw - rs)))
+        # pinned as a pass flag, not the roundoff-level float itself
+        out["windowed_parity_ok"] = 1.0 if maxdiff < 1e-10 else 0.0
+    return out
+
+
 ALL_CONFIGS = {
     "config1": config1_poisson_2d_mf,
     "config2": config2_poisson_3d_gmg,
@@ -535,4 +586,5 @@ ALL_CONFIGS = {
     "config10": config10_stokes_outflow,
     "config11": config11_twophase_displacement,
     "config12": config12_simplex_amg,
+    "config13": config13_scale_lattice_gmg,
 }

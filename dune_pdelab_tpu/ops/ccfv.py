@@ -45,19 +45,38 @@ class ConvectionDiffusionCCFV(LocalOperator):
             return jnp.einsum("...i,i->...", An, n)
         return A
 
-    def max_speed(self, x=None, bmax=None):
+    def max_speed(self, x=None, bmax=None, mesh=None):
         """Max convective speed for CFLTimeController (the conservative
         analog of the reference's cell-influx suggestTimestep,
-        convectiondiffusionccfv.hh:513). Pass `bmax` for position-dependent
-        velocity fields; constant b is read off directly."""
+        convectiondiffusionccfv.hh:513). `x` is the solution state (unused
+        here: the flux is linear in u). Pass `bmax` for position-dependent
+        velocity fields, or `mesh` so the field is sampled at element
+        centers — a single-point probe of a position-dependent b can
+        underestimate the CFL-critical speed and destabilize the explicit
+        step (ADVICE r3)."""
         if bmax is not None:
             return bmax
+        pts = None
+        if mesh is not None and hasattr(mesh, "element_centers"):
+            pts = jnp.asarray(mesh.element_centers())
+        if pts is not None:
+            b = jnp.asarray(self.problem.b(pts))
+            return float(jnp.max(jnp.abs(b)))
         for d in (3, 2, 1):                # problem dim is not stored here
             try:
-                b = self.problem.b(jnp.zeros((1, d)))
-                return float(jnp.max(jnp.abs(jnp.asarray(b))))
+                pr = jnp.zeros((1, d))
+                b0 = jnp.asarray(self.problem.b(pr))
+                # probe a second point: a position-dependent field with no
+                # bmax/mesh/x information is a CFL hazard — refuse to guess
+                b1 = jnp.asarray(self.problem.b(pr + 0.371))
             except (ValueError, TypeError, IndexError):
                 continue
+            if not bool(jnp.allclose(b0, b1)):
+                raise ValueError(
+                    "max_speed: problem.b is position-dependent; pass "
+                    "bmax=, mesh=, or sample points x= so the CFL bound "
+                    "covers the whole domain")
+            return float(jnp.max(jnp.abs(b0)))
         return 0.0
 
     # -- volume: reaction + source ------------------------------------------

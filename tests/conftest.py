@@ -43,6 +43,7 @@ _FAST_MODULES = {
 _SLOW_OVERRIDES = (
     "test_windowed.py",                       # ~1350s total; certified in
                                               # the slow tier + dryrun gate
+    "config13_scale_lattice_gmg",             # 2.1M-DOF at-scale golden
     "test_instationary_stokes.py",            # 92s
     "test_ell_device_assembly_matches_host",  # 188s
     "test_geneo_box_subdomains_sparse",       # 172s

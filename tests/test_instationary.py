@@ -203,3 +203,38 @@ def test_onestep_time_dependent_dirichlet():
     err_frozen = run(None)        # BC stuck at t=0 values
     assert err_moving < 1e-4, err_moving
     assert err_frozen > 20 * err_moving, (err_frozen, err_moving)
+
+
+def test_explicit_mass_inverse_accuracy_high_order():
+    """ADVICE r3 (low): the explicit path applies an EXPLICIT block mass
+    inverse (one batched matvec) instead of lu_solve. Guard its accuracy
+    on stiffer mass blocks: degree-3 DG on a stretched mesh — the block
+    inverse applied to M x must reproduce x to near machine precision."""
+    import numpy as np
+    import jax.numpy as jnp
+    mesh = StructuredMesh([0, 0], [1, 0.01], (6, 6))   # 100:1 stretched
+    V = FunctionSpace(mesh, QkDGFEM(3, 2))
+    go1 = GridOperator(V, L2())
+    x0 = jnp.zeros(V.ndofs)
+    blocks = go1.element_diagonal_blocks(x0)           # (E, nb, nb)
+    import jax
+    lu, piv = jax.scipy.linalg.lu_factor(blocks)
+    eye = jnp.broadcast_to(jnp.eye(blocks.shape[-1]), blocks.shape)
+    Minv = jax.scipy.linalg.lu_solve((lu, piv), eye)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(blocks.shape[:2]))
+    mx = jnp.einsum("ejk,ek->ej", blocks, x)
+    x_rec = jnp.einsum("ejk,ek->ej", Minv, mx)
+    rel = float(jnp.max(jnp.abs(x_rec - x)) / jnp.max(jnp.abs(x)))
+    assert rel < 1e-9, rel
+
+    # end-to-end: explicit Heun heat at degree 2 still meets the heat
+    # solution within discretization error
+    V2 = FunctionSpace(StructuredMesh([0, 0], [1, 1], (8, 8)), QkDGFEM(2, 2))
+    p = HeatProblem()
+    go0 = GridOperator(V2, ConvectionDiffusionDG(p))
+    osm = ExplicitOneStepMethod(heun(), go0, GridOperator(V2, L2()))
+    x = V2.interpolate(p.u_exact(0.0))
+    t, x = osm.solve(0.0, 5e-5, 5e-3, x)
+    err = float(l2_difference(V2, x, p.u_exact(t)))
+    assert err < 5e-3, err

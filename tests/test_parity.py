@@ -37,6 +37,7 @@ _CONFIGS = {
     "config11_twophase_displacement":
         configs.config11_twophase_displacement,
     "config12_simplex_amg": configs.config12_simplex_amg,
+    "config13_scale_lattice_gmg": configs.config13_scale_lattice_gmg,
 }
 
 

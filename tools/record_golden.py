@@ -51,6 +51,8 @@ def main():
         ("config11_twophase_displacement",
          configs.config11_twophase_displacement, {}),
         ("config12_simplex_amg", configs.config12_simplex_amg, {}),
+        ("config13_scale_lattice_gmg", configs.config13_scale_lattice_gmg,
+         {}),
     ]:
         if only and name not in only:
             continue
