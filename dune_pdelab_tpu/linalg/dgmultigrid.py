@@ -265,7 +265,87 @@ class DGTwoLevel:
             z = z + prolong(zc)
             return smooth(z, r, post)
 
+        # mm-resident V-cycle fast path: the (E, nb, nb) batched block
+        # solves and per-step layout transposes dominated the flat cycle
+        # on TPU (441 ms/iter measured at 64^3 Q1 DG); in the mode-major
+        # layout every piece is plane-streaming (block solve = nb^2
+        # per-plane FMAs, coarse transfer = 2^d strided slice adds)
+        if (not self._is_simplex and colors is not None
+                and self.gmg_lattice is not None
+                and getattr(operator, "apply_mm", None) is not None
+                and self.go_dg.space.mesh.dim == 3):
+            apply = self._build_mm_apply(
+                (operator.apply_mm, operator.to_mm, operator.from_mm),
+                Dinv, masks_np, order, gmg_apply)
+
         self._apply_jit = jax.jit(apply)
+
+    def _build_mm_apply(self, mm_parts, Dinv, masks_np, order, gmg_apply):
+        """Mode-major two-level V-cycle on a 3D structured Q1-DG lattice:
+        state lives as (nz, nb, ny, nx); the block-inverse application is
+        an einsum over nb (nb^2 fused per-plane multiply-adds instead of
+        2M tiny batched matvecs), the colored masks broadcast as element
+        planes, and the DG<->CG transfer is W-weighted corner slice
+        adds/gathers (the SlicedDofMap trick); flat layout only at
+        entry/exit. reference cost-center analog:
+        seq_amg_dg_backend.hh:146 (smoother choice dominates)."""
+        import numpy as _np
+        from dune_pdelab_tpu.fe.basis import _cached_fem
+
+        apply_mm, to_mm, from_mm = mm_parts
+        mesh = self.go_dg.space.mesh
+        nxc, nyc, nzc = (int(c) for c in mesh.cells)
+        nb = self.nb
+        Dmm = jnp.asarray(_np.transpose(
+            _np.asarray(Dinv).reshape(nzc, nyc, nxc, nb, nb),
+            (0, 3, 4, 1, 2)))                       # (nz, j, k, ny, nx)
+        col_mm = jnp.asarray(
+            masks_np.reshape(-1, nzc, nyc, nxc))[:, :, None]
+        W = jnp.asarray(self._W)                    # (nb, C)
+        mi = _np.asarray(_cached_fem("QkFEM", 1, 3)._mi)   # (C, 3) x,y,z
+        pre, post = self.pre, self.post
+
+        def solve_all(res):
+            return jnp.einsum("zjkyx,zkyx->zjyx", Dmm.astype(res.dtype),
+                              res, precision="highest")
+
+        def smooth(z, r, sweeps, z_is_zero=False):
+            for s in range(sweeps):
+                for k, ci in enumerate(order):
+                    fresh = z_is_zero and s == 0 and k == 0
+                    res = r if fresh else r - apply_mm(z)
+                    z = z + col_mm[ci].astype(r.dtype) * solve_all(res)
+            return z
+
+        def restrict_mm(r):
+            rc = jnp.zeros((nzc + 1, nyc + 1, nxc + 1), r.dtype)
+            for c in range(W.shape[1]):
+                tmp = jnp.einsum("j,zjyx->zyx", W[:, c].astype(r.dtype), r)
+                cx, cy, cz = (int(v) for v in mi[c])
+                rc = rc.at[cz:cz + nzc, cy:cy + nyc, cx:cx + nxc].add(tmp)
+            return rc
+
+        def prolong_mm(zc):
+            z = None
+            for c in range(W.shape[1]):
+                cx, cy, cz = (int(v) for v in mi[c])
+                part = zc[cz:cz + nzc, cy:cy + nyc, cx:cx + nxc]
+                t = (W[:, c].astype(zc.dtype)[None, :, None, None]
+                     * part[:, None])
+                z = t if z is None else z + t
+            return z
+
+        def apply(r_flat):
+            r = to_mm(r_flat)
+            z = smooth(jnp.zeros_like(r), r, pre, z_is_zero=True)
+            r2 = r - apply_mm(z)
+            rc = restrict_mm(r2)
+            zc = gmg_apply(rc.reshape(-1)).reshape(rc.shape)
+            z = z + prolong_mm(zc)
+            z = smooth(z, r, post)
+            return from_mm(z, r_flat.dtype)
+
+        return apply
 
     # -- LinearSolverBackend precond protocol -----------------------------
     def __call__(self, go, x_lin, time):

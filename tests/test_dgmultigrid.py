@@ -166,3 +166,33 @@ def test_greedy_element_colors_valid():
         cmap[idx] = c
     f = sm.interior_faces()
     assert np.all(cmap[f["inside"]] != cmap[f["outside"]])
+
+
+@pytest.mark.fast
+def test_mm_resident_vcycle_parity():
+    """The mode-major two-level V-cycle (plane-FMA block solves, corner
+    slice-add transfers) matches the flat V-cycle to fp32 roundoff and
+    preconditions CG to the same mesh-independent counts."""
+    from dune_pdelab_tpu.assembly.blockstencil import compile_block_stencil
+    from dune_pdelab_tpu.assembly.blockstencil_mm import (
+        try_mm_block_stencil, MMBlockStencil,
+    )
+    from dune_pdelab_tpu.linalg.krylov import cg
+
+    p = SinCos3D()
+    mesh = StructuredMesh([0, 0, 0], [1, 1, 1], (8, 8, 8))
+    V = FunctionSpace(mesh, QkDGFEM(1, 3))
+    go = GridOperator(V, ConvectionDiffusionDG(p))
+    Aop = compile_block_stencil(go)
+    mm = try_mm_block_stencil(Aop, interpret=True)
+    assert mm is not None
+    tl_flat = DGTwoLevel(go, ConvectionDiffusionFEM(p))
+    tl_flat.setup(operator=Aop)
+    tl_mm = DGTwoLevel(go, ConvectionDiffusionFEM(p))
+    tl_mm.setup(operator=MMBlockStencil(mm))
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(V.ndofs))
+    z1, z2 = tl_flat.apply(r), tl_mm.apply(r)
+    assert float(jnp.max(jnp.abs(z1 - z2)) / jnp.max(jnp.abs(z1))) < 1e-5
+    b = -go.residual(V.zero())
+    x, st = cg(Aop, b, M=tl_mm.apply, tol=1e-8, maxiter=40)
+    assert bool(st.converged) and int(st.iterations) <= 12
