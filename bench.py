@@ -214,18 +214,22 @@ def main():
     if os.environ.get("BENCH_ASSEMBLED", "1") != "0":
         # the 255^3 remote compile can take ~20+ min; budget it, and fall
         # back to a smaller grid so the assembled_* keys still exist
-        # fallback chain: the 255^3 general-residual remote compile has hit
-        # a TPU-compiler SIGILL (TpuPriorityFusionQueue cost model) on the
-        # current v5e tunnel twice; 191^3 and 127^3 keep the keys alive
-        for cells, budget in ((None, int(os.environ.get(
-                "BENCH_ASM_BUDGET_S", "2100"))), (191, 900), (127, 600)):
+        # fallback chain: the 255^3 BATCHED general-residual remote compile
+        # has hit a TPU-compiler SIGILL (TpuPriorityFusionQueue cost model)
+        # on the current v5e tunnel, while the qp-looped variant of the
+        # same kernel compiles (smaller fusion graph) — retry with it
+        # before shrinking the mesh
+        for cells, qp_loop, budget in (
+                (None, False, int(os.environ.get(
+                    "BENCH_ASM_BUDGET_S", "2100"))),
+                (None, True, 1500), (191, False, 900), (127, False, 600)):
             try:
                 out.update(_with_timeout(_assembled_half, budget, log,
-                                         cells))
+                                         cells, qp_loop))
                 break
             except BaseException as e:   # never lose the headline line
-                log(f"assembled half (cells={cells}) skipped: "
-                    f"{type(e).__name__}: {e}")
+                log(f"assembled half (cells={cells}, qp_loop={qp_loop}) "
+                    f"skipped: {type(e).__name__}: {e}")
 
     if os.environ.get("BENCH_DG", "1") != "0":
         # DG fast-path throughput (the block-stencil mm-resident apply)
@@ -459,10 +463,13 @@ def _solve_half(log):
     return res
 
 
-def _assembled_half(log, cells=None):
+def _assembled_half(log, cells=None, qp_loop=False):
     """Assembled element residuals/sec + assembled lattice-ELL SpMV at
     16.8M DOFs, variable coefficients (no translation invariance — the
-    general assembly and assembled-matrix hot paths are exercised)."""
+    general assembly and assembled-matrix hot paths are exercised).
+    qp_loop=True retries with the qp-looped volume kernel whose smaller
+    fusion graph survives the tunnel's compiler where the batched one
+    SIGILLs (it runs ~1.6x slower — the log says which variant ran)."""
     import jax.numpy as jnp
     import numpy as np
     import dune_pdelab_tpu as pt
@@ -491,9 +498,9 @@ def _assembled_half(log, cells=None):
     V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
     go = pt.GridOperator(V, ConvectionDiffusionFEM(VarCoeff()),
                          constraints=pt.constraints(True, V),
-                         skip_boundary=True)
+                         skip_boundary=True, volume_qp_loop=qp_loop)
     N, E = V.ndofs, mesh.nelements
-    log(f"assembled half: N={N} E={E}")
+    log(f"assembled half: N={N} E={E} qp_loop={qp_loop}")
 
     def sync(v):
         return float(jnp.sum(v))

@@ -241,7 +241,7 @@ def assemble_ell_direct(go, x_lin=None, time=0.0, check=False):
             _ell_direct_check(go, ell, x_lin, time)
         return ell
 
-    def build(x):
+    def _ctx_u0(x):
         coords = [lax.broadcasted_iota(jnp.int32, cells_shape, dim - 1 - d)
                   for d in range(dim)]                   # spatial-dim order
         orig = jnp.stack(
@@ -264,32 +264,60 @@ def assemble_ell_direct(go, x_lin=None, time=0.0, check=False):
                                  + int(mi[a][d])) * int(strides[d])
                 cols_u.append(x[idx.reshape(-1)])
             u0 = jnp.stack(cols_u, axis=-1)              # (E, m)
-        V = jnp.zeros((len(offsets),) + grid_shape, dtype)
+        return ctx, u0
+
+    def _probe_b(V, x, b):
+        ctx, u0 = _ctx_u0(x)
         f = lambda u: lop.alpha_volume(ctx, u)
-        for b in range(m):
-            tangent = jnp.zeros((E, m), dtype).at[:, b].set(1.0)
-            _, col = jax.jvp(f, (u0,), (tangent,))       # (E, m) = J[:, :, b]
-            colg = col.reshape(cells_shape + (m,))
-            for a in range(m):
-                off = tuple(int(v) for v in (mi[b] - mi[a]))
-                t = tap_of[off]
-                V = V.at[(t,) + _row_slices(a)].add(colg[..., a])
-        if mask is not None:
-            mg = mask.reshape(grid_shape)
-            V = V * (1.0 - mg.astype(dtype))[None]       # rows
-            # columns: zero taps whose target dof is constrained, so the
-            # stored values match the probing path (which assembles the
-            # symmetrically-eliminated P^T A P + I_c operator) exactly
-            mp = jnp.pad(mg, k, constant_values=False)
-            colm = []
-            for t in range(len(offsets)):
-                start = tuple(k + int(offsets[t][dim - 1 - g])
-                              for g in range(dim))
-                colm.append(lax.dynamic_slice(mp, start, grid_shape))
-            V = V * (1.0 - jnp.stack(colm).astype(dtype))
+        tangent = jnp.zeros((E, m), dtype).at[:, b].set(1.0)
+        _, col = jax.jvp(f, (u0,), (tangent,))           # (E, m) = J[:, :, b]
+        colg = col.reshape(cells_shape + (m,))
+        for a in range(m):
+            off = tuple(int(v) for v in (mi[b] - mi[a]))
+            t = tap_of[off]
+            V = V.at[(t,) + _row_slices(a)].add(colg[..., a])
         return V
 
-    cache[key] = jax.jit(build)
+    def _apply_masks(V):
+        if mask is None:
+            return V
+        mg = mask.reshape(grid_shape)
+        V = V * (1.0 - mg.astype(dtype))[None]           # rows
+        # columns: zero taps whose target dof is constrained, so the
+        # stored values match the probing path (which assembles the
+        # symmetrically-eliminated P^T A P + I_c operator) exactly
+        mp = jnp.pad(mg, k, constant_values=False)
+        colm = []
+        for t in range(len(offsets)):
+            start = tuple(k + int(offsets[t][dim - 1 - g])
+                          for g in range(dim))
+            colm.append(lax.dynamic_slice(mp, start, grid_shape))
+        return V * (1.0 - jnp.stack(colm).astype(dtype))
+
+    if E <= 4_000_000:
+        def build(x):
+            V = jnp.zeros((len(offsets),) + grid_shape, dtype)
+            for b in range(m):
+                V = _probe_b(V, x, b)
+            return _apply_masks(V)
+
+        cache[key] = jax.jit(build)
+    else:
+        # large meshes: ONE program holding all m probes has crashed the
+        # TPU compiler (SIGILL in the fusion cost model at 16.6M
+        # elements); split into m per-probe jits + a mask jit — same
+        # arithmetic, m small compiles, V donated between dispatches
+        probes = [jax.jit(lambda V, x, b=b: _probe_b(V, x, b),
+                          donate_argnums=0) for b in range(m)]
+        mask_jit = jax.jit(_apply_masks, donate_argnums=0)
+
+        def build(x):
+            V = jnp.zeros((len(offsets),) + grid_shape, dtype)
+            for p in probes:
+                V = p(V, x)
+            return mask_jit(V)
+
+        cache[key] = build
     ell = EllMatrix(dims, k, offsets, cache[key](x_lin), mask)
     if check:
         _ell_direct_check(go, ell, x_lin, time)

@@ -94,7 +94,7 @@ def test_direct_declines_out_of_scope():
     # boundary-kernel jacobian contributions (outflow) also decline
     class Outflow(VarCoeff):
         def bctype(self, x):
-            from dune_pdelab_tpu.ops.base import BCType
+            from dune_pdelab_tpu.ops.convectiondiffusion import BCType
             return jnp.where(x[..., 0] > 1 - 1e-12,
                              BCType.OUTFLOW, BCType.DIRICHLET)
 
