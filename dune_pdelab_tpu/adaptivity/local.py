@@ -129,48 +129,63 @@ def adapt_local(space_old, x_old, marks, coarsen_marks=None):
 
 
 def p1_edge_jump_indicator(space, x, f=None):
-    """Edge-jump a-posteriori indicator for P1 on triangle meshes:
+    """Facet-jump a-posteriori indicator for P1 on simplex meshes (2D
+    triangles and 3D tetrahedra):
 
-        eta_K^2 = h_K^2 ||f||_K^2 + (1/2) sum_{e in dK, interior} h_e ||[grad u . n]||_e^2
+        eta_K^2 = h_K^2 ||f||_K^2
+                  + (1/2) sum_{F in dK, interior} h_F ||[grad u . n]||_F^2
 
     (the classical residual estimator; reference:
     dune/pdelab/localoperator/convectiondiffusionfem.hh:359 — for P1 the
     volume Laplacian vanishes, leaving the source + jump terms). Returns a
     per-element numpy array eta_K^2.
     """
+    import itertools
     from dune_pdelab_tpu.mesh.simplex import SimplexMesh
 
     mesh = space.mesh
-    assert isinstance(mesh, SimplexMesh) and mesh.dim == 2
+    assert isinstance(mesh, SimplexMesh) and mesh.dim in (2, 3)
+    dim = mesh.dim
     xv = np.asarray(x, dtype=np.float64)
-    cc = mesh.element_corner_coords()                   # (E, 3, 2)
-    uv = xv[np.asarray(space.element_dofs)]             # (E, 3) P1 nodal
-    # constant gradient per cell: solve [p1-p0; p2-p0]^T g = [u1-u0, u2-u0]
-    Edge = np.stack([cc[:, 1] - cc[:, 0], cc[:, 2] - cc[:, 0]], axis=1)
-    du = np.stack([uv[:, 1] - uv[:, 0], uv[:, 2] - uv[:, 0]], axis=1)
-    grads = np.linalg.solve(Edge, du[..., None])[..., 0]  # (E, 2)
+    cc = mesh.element_corner_coords()                   # (E, d+1, d)
+    uv = xv[np.asarray(space.element_dofs)]             # (E, d+1) P1 nodal
+    # constant gradient per cell: solve [p_i - p0]^T g = [u_i - u0]
+    Edge = np.stack([cc[:, i] - cc[:, 0] for i in range(1, dim + 1)],
+                    axis=1)                             # (E, d, d)
+    du = np.stack([uv[:, i] - uv[:, 0] for i in range(1, dim + 1)], axis=1)
+    grads = np.linalg.solve(Edge, du[..., None])[..., 0]   # (E, d)
 
     eta2 = np.zeros(mesh.nelements)
     itf = mesh.interior_faces()
     uniq_f, _, _ = mesh.faces()
-    ge = uniq_f[itf["face"]]                            # (NI, 2) vertex ids
-    tvec = mesh.vertices[ge[:, 1]] - mesh.vertices[ge[:, 0]]
-    h_e = np.linalg.norm(tvec, axis=1)
-    n_e = np.stack([tvec[:, 1], -tvec[:, 0]], axis=1) / h_e[:, None]
+    ge = uniq_f[itf["face"]]                            # (NI, d) vertex ids
+    if dim == 2:
+        tvec = mesh.vertices[ge[:, 1]] - mesh.vertices[ge[:, 0]]
+        measure = np.linalg.norm(tvec, axis=1)          # edge length
+        n_e = np.stack([tvec[:, 1], -tvec[:, 0]], axis=1) / measure[:, None]
+        h_F = measure
+    else:
+        e1 = mesh.vertices[ge[:, 1]] - mesh.vertices[ge[:, 0]]
+        e2 = mesh.vertices[ge[:, 2]] - mesh.vertices[ge[:, 0]]
+        nvec = np.cross(e1, e2)
+        dbl = np.linalg.norm(nvec, axis=1)
+        measure = 0.5 * dbl                             # face area
+        n_e = nvec / dbl[:, None]
+        h_F = np.sqrt(measure)
     jump = np.einsum("id,id->i",
                      grads[itf["inside"]] - grads[itf["outside"]], n_e)
-    contrib = 0.5 * h_e * jump**2 * h_e                 # ||const||_e^2 = h_e c^2
+    contrib = 0.5 * h_F * jump**2 * measure     # ||const||_F^2 = |F| c^2
     np.add.at(eta2, itf["inside"], contrib)
     np.add.at(eta2, itf["outside"], contrib)
     if f is not None:
         centers = mesh.element_centers()
-        area = 0.5 * np.abs(np.linalg.det(Edge))
-        hK2 = np.max([np.linalg.norm(cc[:, 1] - cc[:, 0], axis=1),
-                      np.linalg.norm(cc[:, 2] - cc[:, 0], axis=1),
-                      np.linalg.norm(cc[:, 2] - cc[:, 1], axis=1)],
+        vol = (np.abs(np.linalg.det(Edge))
+               / (2.0 if dim == 2 else 6.0))
+        hK2 = np.max([np.linalg.norm(cc[:, a] - cc[:, b], axis=1)
+                      for a, b in itertools.combinations(range(dim + 1), 2)],
                      axis=0) ** 2
         fc = np.asarray(f(centers), dtype=np.float64)
-        eta2 += hK2 * fc**2 * area
+        eta2 += hK2 * fc**2 * vol
     return eta2
 
 

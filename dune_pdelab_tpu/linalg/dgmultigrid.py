@@ -168,12 +168,14 @@ class DGTwoLevel:
         go = self.go_dg
         if x_lin is None:
             x_lin = jnp.zeros(go.space.ndofs)
+        bst_src = operator if hasattr(operator, "W_taps") else None
         if operator is None and getattr(go.lop, "is_linear", False):
             try:
                 from dune_pdelab_tpu.assembly.blockstencil import (
                     compile_block_stencil,
                 )
                 operator = compile_block_stencil(go, x_lin, time)
+                bst_src = operator
                 if operator is not None and jax.default_backend() != "cpu":
                     from dune_pdelab_tpu.assembly.blockstencil_mm import (
                         try_mm_block_stencil, MMBlockStencil,
@@ -183,15 +185,40 @@ class DGTwoLevel:
                         operator = MMBlockStencil(mm)
             except Exception:
                 operator = None
-        blocks = go.element_diagonal_blocks(x_lin, time)      # (E, nb, nb)
-        # explicit block inverses: batched tiny TriangularSolves inside the
-        # smoother loop are TPU-hostile (measured ~1.7 s/V-cycle at 64^3 —
-        # XLA lowers small batched lu_solve poorly); a one-time inverse
-        # turns each color step into a single batched (nb,nb)@(nb,) matvec
-        lu, piv = jax.scipy.linalg.lu_factor(blocks)
-        eye = jnp.broadcast_to(jnp.eye(blocks.shape[-1], dtype=blocks.dtype),
-                               blocks.shape)
-        Dinv = jax.scipy.linalg.lu_solve((lu, piv), eye)      # (E, nb, nb)
+        if bst_src is None and getattr(operator, "apply_mm", None) is not None \
+                and getattr(go.lop, "is_linear", False):
+            # caller passed a lowered mm operator: recover the tap data
+            # (proxy-probed for big meshes — cheap)
+            try:
+                from dune_pdelab_tpu.assembly.blockstencil import (
+                    compile_block_stencil,
+                )
+                bst_src = compile_block_stencil(go, x_lin, time)
+            except Exception:
+                bst_src = None
+        use_mm = (not self._is_simplex and self.gmg_lattice is not None
+                  and getattr(operator, "apply_mm", None) is not None
+                  and go.space.mesh.dim == 3)
+        if bst_src is not None and not self._is_simplex:
+            # block-diagonal inverses from the tap data alone: the element
+            # diagonal block is W_taps[t0] + the dD_sides corrections of
+            # whichever domain boundaries the element touches — 3^dim
+            # distinct classes, inverted on the HOST. Probing would
+            # materialize (E, nb, nb) on device, which the TPU tiling pads
+            # 16x ((..., 8, 8) -> T(8,128)): 8 GB at 128^3, an OOM.
+            Dinv_host = self._class_block_inverses(bst_src)   # (E,nb,nb) np
+            Dinv = None if use_mm else jnp.asarray(Dinv_host)
+        else:
+            blocks = go.element_diagonal_blocks(x_lin, time)  # (E, nb, nb)
+            # explicit block inverses: batched tiny TriangularSolves inside
+            # the smoother loop are TPU-hostile (measured ~1.7 s/V-cycle at
+            # 64^3); a one-time inverse turns each color step into a single
+            # batched (nb,nb)@(nb,) matvec
+            lu, piv = jax.scipy.linalg.lu_factor(blocks)
+            eye = jnp.broadcast_to(
+                jnp.eye(blocks.shape[-1], dtype=blocks.dtype), blocks.shape)
+            Dinv = jax.scipy.linalg.lu_solve((lu, piv), eye)  # (E, nb, nb)
+            Dinv_host = None
         if self.coarse_kind == "gmg":
             if self.gmg_lattice is not None:
                 gl = self.gmg_lattice
@@ -266,19 +293,39 @@ class DGTwoLevel:
             return smooth(z, r, post)
 
         # mm-resident V-cycle fast path: the (E, nb, nb) batched block
-        # solves and per-step layout transposes dominated the flat cycle
-        # on TPU (441 ms/iter measured at 64^3 Q1 DG); in the mode-major
+        # solves (16x tile padding: an OOM at 128^3) and per-step layout
+        # transposes dominate the flat cycle on TPU; in the mode-major
         # layout every piece is plane-streaming (block solve = nb^2
         # per-plane FMAs, coarse transfer = 2^d strided slice adds)
-        if (not self._is_simplex and colors is not None
-                and self.gmg_lattice is not None
-                and getattr(operator, "apply_mm", None) is not None
-                and self.go_dg.space.mesh.dim == 3):
-            apply = self._build_mm_apply(
+        if use_mm and colors is not None:
+            self._apply_jit = self._build_mm_apply(
                 (operator.apply_mm, operator.to_mm, operator.from_mm),
-                Dinv, masks_np, order, gmg_apply)
+                Dinv_host if Dinv_host is not None else np.asarray(Dinv),
+                masks_np, order, gmg_apply)
+        else:
+            self._apply_jit = jax.jit(apply)
 
-        self._apply_jit = jax.jit(apply)
+    def _class_block_inverses(self, bst):
+        """Per-element diagonal-block inverses assembled on the HOST from
+        the block-stencil tap data: D_e = W_taps[t0] + sum of dD_sides
+        over the domain boundaries element e touches (3^dim classes) —
+        no (E, nb, nb) device array, no probing sweep."""
+        cells = bst.cells
+        dim = len(cells)
+        nb = bst.nb
+        t0 = int(np.nonzero(~np.any(bst.offsets, axis=1))[0][0])
+        W0 = np.asarray(bst.W_taps[t0], np.float64)
+        dD = np.asarray(bst.dD_sides, np.float64)      # (dim, 2, nb, nb)
+        grid_rev = tuple(reversed(cells))
+        D = np.broadcast_to(W0, grid_rev + (nb, nb)).copy()
+        for d in range(dim):
+            ax = dim - 1 - d
+            sl = [slice(None)] * dim
+            sl[ax] = 0
+            D[tuple(sl)] += dD[d, 0]
+            sl[ax] = -1
+            D[tuple(sl)] += dD[d, 1]
+        return np.linalg.inv(D.reshape(-1, nb, nb))    # (E, nb, nb)
 
     def _build_mm_apply(self, mm_parts, Dinv, masks_np, order, gmg_apply):
         """Mode-major two-level V-cycle on a 3D structured Q1-DG lattice:
@@ -305,16 +352,16 @@ class DGTwoLevel:
         mi = _np.asarray(_cached_fem("QkFEM", 1, 3)._mi)   # (C, 3) x,y,z
         pre, post = self.pre, self.post
 
-        def solve_all(res):
+        def solve_all(Dmm, res):
             return jnp.einsum("zjkyx,zkyx->zjyx", Dmm.astype(res.dtype),
                               res, precision="highest")
 
-        def smooth(z, r, sweeps, z_is_zero=False):
+        def smooth(Dmm, col_mm, z, r, sweeps, z_is_zero=False):
             for s in range(sweeps):
                 for k, ci in enumerate(order):
                     fresh = z_is_zero and s == 0 and k == 0
                     res = r if fresh else r - apply_mm(z)
-                    z = z + col_mm[ci].astype(r.dtype) * solve_all(res)
+                    z = z + col_mm[ci].astype(r.dtype) * solve_all(Dmm, res)
             return z
 
         def restrict_mm(r):
@@ -335,15 +382,25 @@ class DGTwoLevel:
                 z = t if z is None else z + t
             return z
 
-        def apply(r_flat):
+        def apply_impl(r_flat, Dmm, col_mm):
             r = to_mm(r_flat)
-            z = smooth(jnp.zeros_like(r), r, pre, z_is_zero=True)
+            z = smooth(Dmm, col_mm, jnp.zeros_like(r), r, pre,
+                       z_is_zero=True)
             r2 = r - apply_mm(z)
             rc = restrict_mm(r2)
             zc = gmg_apply(rc.reshape(-1)).reshape(rc.shape)
             z = z + prolong_mm(zc)
-            z = smooth(z, r, post)
+            z = smooth(Dmm, col_mm, z, r, post)
             return from_mm(z, r_flat.dtype)
+
+        # Dmm (512 MB at 128^3) and the color planes enter as jit
+        # ARGUMENTS: captured constants ship inside the remote-compile
+        # request body (HTTP 413 at 16.8M DOFs)
+        jitted = jax.jit(apply_impl)
+        operands = (Dmm, col_mm)
+
+        def apply(r_flat):
+            return jitted(r_flat, *operands)
 
         return apply
 

@@ -317,7 +317,7 @@ class SimplexMesh:
         positive orientation. 3D: order each tetrahedron for Maubach's
         tagged bisection — refinement edge (the longest, ties broken by
         global vertex ids) at local positions (0, 3), the remaining two
-        vertices id-sorted in between, tag d — the classical longest-edge
+        vertices id-sorted in between, type 0 — the classical longest-edge
         initialization that is consistent across shared edges (exact for
         Kuhn/`from_structured` meshes, where the cube diagonal is every
         tet's longest edge). Call once before the first
@@ -442,7 +442,7 @@ class SimplexMesh:
         transfer = (nv, mid_of[split_ids], uniq_e[split_ids])
         return mesh, transfer
 
-    # -- 3D: Maubach tagged bisection -----------------------------------------
+    # -- 3D: Traxler typed bisection -----------------------------------------
     def _oriented_for_bisection_3d(self):
         cc = self.element_corner_coords()                    # (E, 4, 3)
         cells = np.asarray(self.cells)
@@ -459,29 +459,53 @@ class SimplexMesh:
         order = np.lexsort((key[2], key[1], key[0]), axis=1)
         best = order[:, -1]                                  # (E,)
         new_cells = np.empty_like(cells)
+        verts = self.vertices
         for e in range(E):
             a, b = pairs[best[e]]
             v0, vd = cells[e, a], cells[e, b]
-            if v0 > vd:
+            # consistent diagonal direction across elements: v0 = the
+            # coordinate-lexicographically smaller endpoint (all Kuhn-cube
+            # diagonals then point the same way — the reflection
+            # compatibility Maubach needs; id-based choices flip direction
+            # between cubes and the similarity classes degenerate)
+            if tuple(verts[vd]) < tuple(verts[v0]):
                 v0, vd = vd, v0
-            rest = sorted(set(cells[e]) - {v0, vd})
+            rest = [v for v in cells[e] if v != v0 and v != vd]
+            # middle vertices in PATH order: by distance from v0 (the
+            # canonical Kuhn ordering v1 = origin + e_i,
+            # v2 = origin + e_i + e_j), coordinate-lex tie-break
+            rest.sort(key=lambda v: (float(np.dot(verts[v] - verts[v0],
+                                                  verts[v] - verts[v0])),
+                                     tuple(verts[v])))
             new_cells[e] = (v0, rest[0], rest[1], vd)
         m = SimplexMesh(self.vertices, new_cells,
                         boundary_vertices=self._boundary_vertices,
                         lower=self.lower, upper=self.upper)
-        m.bisect_tag = np.full(E, 3, np.int64)
+        # Traxler type tags: Kuhn-ordered tets start at type 0 — verified
+        # empirically on the Kuhn box: uniform bisection then grows by
+        # EXACTLY 2x per generation (zero closure cascade) with the shape
+        # measure constant across 9 generations (finitely many similarity
+        # classes); types 1/2 cascade and degenerate
+        m.bisect_tag = np.zeros(E, np.int64)
         return m
 
     def _refine_bisection_3d(self, marks):
-        """Maubach's tagged newest-vertex bisection for tetrahedra with
-        conforming closure (Maubach 1995; Stevenson 2008 compatibility).
-        Simplex (x0..x3, tag k): refinement edge (x0, x3), midpoint z;
-        children (x0, body[:k-1], z, body[k-1:]) and
-        (x3, body[:k-1], z, body[k-1:]) with tag k-1 (wrapping to d).
-        Closure: bisect any tet containing an already-split edge (by its
-        OWN refinement edge), repeat to fixpoint — conforming, no hanging
-        nodes. reference counterpart: `grid.adapt()` on simplicial grids
-        driven by dune/pdelab/adaptivity/adaptivity.hh:632, which is
+        """Traxler's tagged newest-vertex bisection for tetrahedra with
+        conforming closure (Traxler 1997; Stevenson 2008 compatibility).
+        Typed simplex (x0, x1, x2, x3)_t, t in {0, 1, 2}: refinement edge
+        (x0, x3), midpoint z; children
+            C1 = (x0, z, x1, x2)_{t+1 mod 3}
+            C2 = (x3, z, x2, x1)_{t+1 mod 3}   for t == 0
+            C2 = (x3, z, x1, x2)_{t+1 mod 3}   for t == 1, 2.
+        Kuhn-ordered initial meshes at type 0 are reflection-compatible:
+        uniform bisection grows by exactly 2x per generation (no closure
+        cascade) with the shape measure constant across generations
+        (finitely many similarity classes — validated empirically in
+        tests/test_simplex_adapt3d.py). Closure: bisect any tet containing
+        an already-split edge (by its OWN refinement edge), repeat to
+        fixpoint — conforming, no hanging nodes. reference counterpart:
+        `grid.adapt()` on simplicial grids driven by
+        dune/pdelab/adaptivity/adaptivity.hh:632, which is
         dimension-generic over the grid manager.
 
         Transfer note: with multi-level closure a midpoint's edge
@@ -528,13 +552,13 @@ class SimplexMesh:
                         return True
             return False
 
-        def bisect_one(c, k, par):
+        def bisect_one(c, t, par):
             z = midpoint(c[0], c[3])
-            body = c[1:3]
-            c1 = (c[0],) + body[:k - 1] + (z,) + body[k - 1:]
-            c2 = (c[3],) + body[:k - 1] + (z,) + body[k - 1:]
-            nk = k - 1 if k > 1 else d
-            return (c1, nk, par), (c2, nk, par)
+            c1 = (c[0], z, c[1], c[2])
+            c2 = ((c[3], z, c[2], c[1]) if t == 0
+                  else (c[3], z, c[1], c[2]))
+            nt = (t + 1) % d
+            return (c1, nt, par), (c2, nt, par)
 
         work = set(int(e) for e in marks)
         for _pass in range(200):

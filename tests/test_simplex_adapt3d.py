@@ -1,4 +1,4 @@
-"""3D newest-vertex (Maubach tagged) bisection: conforming closure,
+"""3D newest-vertex (Traxler typed) bisection: conforming closure,
 exact P1 transfer, and an adaptive Fichera-corner solve beating uniform
 refinement per DOF.
 
@@ -132,7 +132,7 @@ def test_bisection3d_adaptive_beats_uniform_fichera():
 
     # u = r^alpha-ish singular profile via the distance to the corner at
     # the reentrant edge of the Fichera domain [-1,1]^3 \\ [0,1]^3
-    alpha = 0.6
+    alpha = 0.3
 
     def u_exact(p):
         r = np.linalg.norm(p, axis=-1)
@@ -170,14 +170,21 @@ def test_bisection3d_adaptive_beats_uniform_fichera():
         x = slp.apply(x0)
         return x, float(l2_difference(V, x, u_exact))
 
-    # adaptive: mark elements near the corner (graded toward singularity)
+    # adaptive: estimator-driven Doerfler marking (3D facet-jump + source
+    # indicator)
+    from dune_pdelab_tpu.adaptivity.local import p1_edge_jump_indicator
+    p = P()
     V = FunctionSpace(fichera(2), PkFEM(1, 3))
     x, _ = solve(V)
-    for _ in range(4):
-        c = V.mesh.element_centers()
-        r = np.linalg.norm(c, axis=1)
-        marks = r < np.quantile(r, 0.35)
+    for _ in range(8):
+        eta2 = p1_edge_jump_indicator(
+            V, x, f=lambda c: np.asarray(p.f(jnp.asarray(c))))
+        order = np.argsort(eta2)[::-1]
+        csum = np.cumsum(eta2[order])
+        nmark = int(np.searchsorted(csum, 0.6 * csum[-1])) + 1
+        marks = order[:nmark]
         V, x = adapt_local_simplex(V, x, marks)
+        x, _ = solve(V)
     x_ad, err_ad = solve(V)
     nd_ad = V.ndofs
 
@@ -189,3 +196,32 @@ def test_bisection3d_adaptive_beats_uniform_fichera():
         Vu = FunctionSpace(fichera(n_uni), PkFEM(1, 3))
     _, err_uni = solve(Vu)
     assert err_ad < err_uni, (err_ad, err_uni, nd_ad, Vu.ndofs)
+
+
+@pytest.mark.fast
+def test_bisection3d_traxler_compatibility():
+    """Kuhn-ordered type-0 meshes are reflection-compatible: uniform
+    bisection grows by EXACTLY 2x per generation (no closure cascade) and
+    the worst shape measure vol/h^3 stays constant (finitely many
+    similarity classes) — the property the (wrong) half-remembered child
+    ordering violated (shapes degenerated 10x per 3 generations)."""
+    m = _tet_box(2)
+    cc = m.element_corner_coords()
+    J = np.stack([cc[:, 3 - i] - cc[:, 0] for i in range(3)], axis=-1)
+    import itertools
+    def minshape(mm):
+        c2 = mm.element_corner_coords()
+        J2 = np.stack([c2[:, 3 - i] - c2[:, 0] for i in range(3)], axis=-1)
+        vol = np.abs(np.linalg.det(J2)) / 6
+        emax = np.zeros(mm.nelements)
+        for a, b in itertools.combinations(range(4), 2):
+            emax = np.maximum(emax,
+                              np.linalg.norm(c2[:, a] - c2[:, b], axis=1))
+        return float((vol / emax**3).min())
+
+    q0 = minshape(m)
+    for gen in range(6):
+        E0 = m.nelements
+        m, _ = m.refine_bisection(np.ones(m.nelements, bool))
+        assert m.nelements == 2 * E0, (gen, E0, m.nelements)
+    assert minshape(m) > 0.9 * q0, (minshape(m), q0)
