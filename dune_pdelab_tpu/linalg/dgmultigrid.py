@@ -162,9 +162,6 @@ class DGTwoLevel:
         cost, so this is the same speedup LinearSolverBackend gets from
         its stencil path. When None and the operator is linear, setup
         tries to compile one itself."""
-        from dune_pdelab_tpu.linalg.preconditioners import (
-            checkerboard_colors,
-        )
         go = self.go_dg
         if x_lin is None:
             x_lin = jnp.zeros(go.space.ndofs)
@@ -244,7 +241,16 @@ class DGTwoLevel:
             colors = tuple(_greedy_element_colors(go.space.mesh))
         else:
             try:
-                colors = tuple(checkerboard_colors(go.space.mesh))
+                # DG blocks couple only through FACES (|mi_e - mi_f|_1 = 1),
+                # so sum-parity gives a valid TWO-coloring — the 2^dim
+                # DOF-closure checkerboard (checkerboard_colors, meant for
+                # CG writes) costs 15 color steps per symmetric sweep in 3D
+                # vs 3 here: a 5x cut in operator applies per V-cycle
+                mi = go.space.mesh.element_multi_index()
+                par = mi.sum(axis=1) % 2
+                colors = tuple(
+                    jnp.asarray(np.flatnonzero(par == c), jnp.int32)
+                    for c in range(2))
             except Exception:
                 colors = None   # fall back to block-Jacobi sweeps
         if colors is not None:
