@@ -303,8 +303,9 @@ class DGTwoLevel:
         # transposes dominate the flat cycle on TPU; in the mode-major
         # layout every piece is plane-streaming (block solve = nb^2
         # per-plane FMAs, coarse transfer = 2^d strided slice adds)
+        self._apply_host = None
         if use_mm and colors is not None:
-            self._apply_jit = self._build_mm_apply(
+            self._apply_jit, self._apply_host = self._build_mm_apply(
                 (operator.apply_mm, operator.to_mm, operator.from_mm),
                 Dinv_host if Dinv_host is not None else np.asarray(Dinv),
                 masks_np, order, gmg_apply)
@@ -408,7 +409,38 @@ class DGTwoLevel:
         def apply(r_flat):
             return jitted(r_flat, *operands)
 
-        return apply
+        # host-composed variant in THREE smaller jits: the single-program
+        # V-cycle (6 Pallas applies + the whole lattice-GMG recursion +
+        # transfers) exceeded what the remote TPU compiler finishes in
+        # reasonable time at 16.8M DOFs (>55 min, never returned); three
+        # moderate programs compile in minutes and cost 3 extra dispatches
+        # (~8 ms) per preconditioner application
+        def j1_impl(r_flat, Dmm, col_mm):
+            r = to_mm(r_flat)
+            z = smooth(Dmm, col_mm, jnp.zeros_like(r), r, pre,
+                       z_is_zero=True)
+            r2 = r - apply_mm(z)
+            return z, restrict_mm(r2).reshape(-1)
+
+        def j3_impl(z, zc_flat, r_flat, Dmm, col_mm):
+            r = to_mm(r_flat)
+            zc = zc_flat.reshape((self.go_dg.space.mesh.cells[2] + 1,
+                                  self.go_dg.space.mesh.cells[1] + 1,
+                                  self.go_dg.space.mesh.cells[0] + 1))
+            z = z + prolong_mm(zc)
+            z = smooth(Dmm, col_mm, z, r, post)
+            return from_mm(z, r_flat.dtype)
+
+        j1 = jax.jit(j1_impl)
+        j2 = jax.jit(gmg_apply)
+        j3 = jax.jit(j3_impl)
+
+        def apply_host(r_flat):
+            z, rc = j1(r_flat, *operands)
+            zc = j2(rc)
+            return j3(z, zc, r_flat, *operands)
+
+        return apply, apply_host
 
     # -- LinearSolverBackend precond protocol -----------------------------
     def __call__(self, go, x_lin, time):
@@ -420,6 +452,13 @@ class DGTwoLevel:
         return self._apply_jit
 
     def apply(self, r):
+        """Host-entry application: uses the split-jit composition when the
+        mm path built one (the monolithic V-cycle program exceeds the
+        remote compiler's practical budget at 10M+ DOFs); the traceable
+        single-jit version remains available through __call__ for use
+        inside outer jits."""
         if self._apply_jit is None:
             self.setup()
+        if getattr(self, "_apply_host", None) is not None:
+            return self._apply_host(r)
         return self._apply_jit(r)
