@@ -6,7 +6,10 @@ DG two-level multigrid drives a 3D SIPG problem to 1e-8 relative
 reduction in mesh-independent iterations — the reference's
 seq_amg_dg_backend.hh job (ISTLBackend_SEQ_AMG_4_DG) on hardware.
 
-Usage: python benchmarks/dg_mg_tpu.py [cells=64]
+Usage: python benchmarks/dg_mg_tpu.py [cells=128]
+
+NOTE: the mm-resident smoother/V-cycle fast path requires nx % 128 == 0
+(the Pallas lane constraint); at 64^3 the flat XLA path runs instead.
 """
 import sys
 import time
@@ -107,4 +110,4 @@ def main(cells=64):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 64))
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 128))
