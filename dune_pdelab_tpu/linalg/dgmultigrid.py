@@ -140,6 +140,7 @@ class DGTwoLevel:
         self.nb = nb
         self._apply_jit = None
         self._setup_key = None
+        self._bst_src = None
 
     def _prolong(self, xc):
         """CG vector -> DG vector (element-major DG layout)."""
@@ -203,8 +204,13 @@ class DGTwoLevel:
             # distinct classes, inverted on the HOST. Probing would
             # materialize (E, nb, nb) on device, which the TPU tiling pads
             # 16x ((..., 8, 8) -> T(8,128)): 8 GB at 128^3, an OOM.
-            Dinv_host = self._class_block_inverses(bst_src)   # (E,nb,nb) np
-            Dinv = None if use_mm else jnp.asarray(Dinv_host)
+            self._bst_src = bst_src
+            if use_mm:
+                Dinv_host = None        # mm path builds Dmm on device
+                Dinv = None             # from the 3^dim class table
+            else:
+                Dinv_host = self._class_block_inverses(bst_src)
+                Dinv = jnp.asarray(Dinv_host)
         else:
             blocks = go.element_diagonal_blocks(x_lin, time)  # (E, nb, nb)
             # explicit block inverses: batched tiny TriangularSolves inside
@@ -305,34 +311,58 @@ class DGTwoLevel:
         # per-plane FMAs, coarse transfer = 2^d strided slice adds)
         self._apply_host = None
         if use_mm and colors is not None:
+            if Dinv_host is None and Dinv is not None:
+                Dinv_host = np.asarray(Dinv)
             self._apply_jit, self._apply_host = self._build_mm_apply(
                 (operator.apply_mm, operator.to_mm, operator.from_mm),
-                Dinv_host if Dinv_host is not None else np.asarray(Dinv),
-                masks_np, order, gmg_apply)
+                Dinv_host, masks_np, order, gmg_apply)
         else:
             self._apply_jit = jax.jit(apply)
 
-    def _class_block_inverses(self, bst):
-        """Per-element diagonal-block inverses assembled on the HOST from
-        the block-stencil tap data: D_e = W_taps[t0] + sum of dD_sides
-        over the domain boundaries element e touches (3^dim classes) —
-        no (E, nb, nb) device array, no probing sweep."""
+    def _class_inverse_table(self, bst):
+        """Inverse diagonal blocks per BOUNDARY CLASS: the element block
+        is W_taps[t0] + the dD_sides corrections of whichever domain
+        boundaries the element touches — only 3^dim distinct blocks.
+        Returns (3^dim, nb, nb) with class index
+        sum_d cls_d * 3^d, cls_d in {0: lower bd, 1: interior, 2: upper}.
+        Replaces per-element probing AND per-element storage: the full
+        (E, nb, nb) array pads 16x under TPU tiling (OOM at 128^3) and
+        costs a GB-scale relay upload."""
         cells = bst.cells
         dim = len(cells)
         nb = bst.nb
         t0 = int(np.nonzero(~np.any(bst.offsets, axis=1))[0][0])
         W0 = np.asarray(bst.W_taps[t0], np.float64)
         dD = np.asarray(bst.dD_sides, np.float64)      # (dim, 2, nb, nb)
-        grid_rev = tuple(reversed(cells))
-        D = np.broadcast_to(W0, grid_rev + (nb, nb)).copy()
+        import itertools as _it
+        table = np.empty((3 ** dim, nb, nb))
+        for cls in _it.product(*[range(3)] * dim):
+            D = W0.copy()
+            for d in range(dim):
+                if cls[d] == 0:
+                    D = D + dD[d, 0]
+                if cls[d] == 2:
+                    D = D + dD[d, 1]
+            idx = sum(c * 3 ** d for d, c in enumerate(cls))
+            table[idx] = D
+        return np.linalg.inv(table)
+
+    def _class_block_inverses(self, bst):
+        """Per-element inverse diagonal blocks via the class table (host
+        numpy fancy-index — no per-element inversion)."""
+        cells = bst.cells
+        dim = len(cells)
+        table = self._class_inverse_table(bst)
+        idx = np.zeros(tuple(reversed(cells)), np.int64)
         for d in range(dim):
             ax = dim - 1 - d
-            sl = [slice(None)] * dim
-            sl[ax] = 0
-            D[tuple(sl)] += dD[d, 0]
-            sl[ax] = -1
-            D[tuple(sl)] += dD[d, 1]
-        return np.linalg.inv(D.reshape(-1, nb, nb))    # (E, nb, nb)
+            pos = np.zeros(cells[d], np.int64) + 1
+            pos[0] = 0
+            pos[-1] = 2
+            shape = [1] * dim
+            shape[ax] = cells[d]
+            idx = idx + pos.reshape(shape) * (3 ** d)
+        return table[idx.reshape(-1)]                  # (E, nb, nb)
 
     def _build_mm_apply(self, mm_parts, Dinv, masks_np, order, gmg_apply):
         """Mode-major two-level V-cycle on a 3D structured Q1-DG lattice:
@@ -350,9 +380,37 @@ class DGTwoLevel:
         mesh = self.go_dg.space.mesh
         nxc, nyc, nzc = (int(c) for c in mesh.cells)
         nb = self.nb
-        Dmm = jnp.asarray(_np.transpose(
-            _np.asarray(Dinv).reshape(nzc, nyc, nxc, nb, nb),
-            (0, 3, 4, 1, 2)))                       # (nz, j, k, ny, nx)
+        # Dmm is built ON DEVICE from the 3^dim class-inverse table +
+        # iota position masks: uploading a materialized (nz,nb,nb,ny,nx)
+        # array through the HTTP relay costs minutes (512 MB f32 at
+        # 128^3) and stalled setup
+        from jax import lax as _lax
+        table = jnp.asarray(self._class_inverse_table(self._bst_src),
+                            jnp.float32) if getattr(
+            self, "_bst_src", None) is not None else None
+        if table is not None:
+            def _build_dmm(_token):
+                xi = _lax.broadcasted_iota(jnp.int32, (nzc, nyc, nxc), 2)
+                yi = _lax.broadcasted_iota(jnp.int32, (nzc, nyc, nxc), 1)
+                zi = _lax.broadcasted_iota(jnp.int32, (nzc, nyc, nxc), 0)
+
+                def cls(pos, n):
+                    return jnp.where(pos == 0, 0,
+                                     jnp.where(pos == n - 1, 2, 1))
+
+                cidx = (cls(xi, nxc) + 3 * cls(yi, nyc)
+                        + 9 * cls(zi, nzc))          # (nz, ny, nx)
+                D = jnp.zeros((nzc, nb, nb, nyc, nxc), jnp.float32)
+                for c in range(table.shape[0]):
+                    m = (cidx == c).astype(jnp.float32)[:, None, None]
+                    D = D + m * table[c][None, :, :, None, None]
+                return D
+
+            Dmm = jax.jit(_build_dmm)(0)
+        else:
+            Dmm = jnp.asarray(_np.transpose(
+                _np.asarray(Dinv).reshape(nzc, nyc, nxc, nb, nb),
+                (0, 3, 4, 1, 2)), jnp.float32)      # (nz, j, k, ny, nx)
         col_mm = jnp.asarray(
             masks_np.reshape(-1, nzc, nyc, nxc))[:, :, None]
         W = jnp.asarray(self._W)                    # (nb, C)
