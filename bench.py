@@ -11,27 +11,65 @@ Byte model per CG iteration (fp32): the operator application streams the DOF
 vector through gather (read ~N), kernel, scatter-add (read+write ~2N), and
 the CG vector updates touch ~6 reads + 3 writes of N => ~12 N * 4 bytes.
 Roofline BW defaults to v5e (~819 GB/s); override with BENCH_HBM_GBPS.
+A second key, vs_measured, divides the XLA-cost-analysis measured bytes
+(compiled.cost_analysis()["bytes accessed"]) by the measured saxpy envelope
+— the "one defensible roofline number" (no traffic-model overcounting).
 
-Assembled half (extra keys in the same JSON line, measured at 16.8M DOFs
-on a variable-coefficient 3D Poisson where no stencil compression exists):
-  assembled_residual_meps   general-path element residuals/sec (millions)
-  assembled_spmv_gdofs      plane-streamed Pallas lattice-ELL SpMV Gdof/s
-  assembled_spmv_gbps       bandwidth on the (27+3)*4 B/DOF traffic model
-(reference hot path analog: BCRS SpMV, dune/pdelab/backend/istl/
-bcrsmatrix.hh + seqistlsolverbackend.hh:112-1060). Disable with
-BENCH_ASSEMBLED=0; budget-capped by SIGALRM so a slow remote compile can
-never eat the headline measurement.
+Robustness contract (round-5 redesign — BENCH_r04 was lost to rc:124):
+  * ONE global budget (BENCH_TOTAL_BUDGET_S, default 1800 s) pro-rates every
+    stage budget; a stage that would not fit is skipped with a log line.
+  * The cumulative JSON line is RE-PRINTED after every stage (flush) — the
+    driver's "last JSON line on stdout" is complete up to the last finished
+    stage even if the process is killed mid-run. SIGTERM prints it too.
+  * The north-star solve table runs in a fresh SUBPROCESS: in round 4 the
+    512^3 solve measured 45.15 s in-process (HBM pressure from the 134M-DOF
+    headline buffers still alive) vs 2.44 s in the isolated refine child.
 
-Prints exactly one JSON line.
+Stage keys (all optional except the headline):
+  solve_*      north-star GMG-CG solve table, 64^3..512^3 (subprocess)
+  refine_*     fp64-grade mixed-precision refinement at 512^3 (subprocess)
+  assembled_*  general-path element residuals + ELL build + plane SpMV
+  dg_*         DG block-stencil mm-resident apply throughput
+  dgmg_*       DG two-level V-cycle cost per iteration (round-3 demand)
+(reference hot path analog: BCRS SpMV + AMG-CG, dune/pdelab/backend/istl/
+bcrsmatrix.hh + seqistlsolverbackend.hh:112-1060).
+
+Prints the cumulative JSON line after every stage; the LAST line is the
+complete record.
 """
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1800"))
+
+
+def _remaining():
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _stage_budget(default_s, reserve_s):
+    """Pro-rate: a stage gets its default, capped so reserve_s is left."""
+    return int(min(default_s, _remaining() - reserve_s))
+
+
+def _emit(out):
+    print(json.dumps(out), flush=True)
+
+
+def _install_term_handler(out):
+    def handler(signum, frame):
+        _emit(out)
+        sys.stdout.flush()
+        os._exit(0)
+    signal.signal(signal.SIGTERM, handler)
 
 
 def _probe_devices(budget_s):
@@ -58,6 +96,45 @@ def _probe_devices(budget_s):
     return r.stdout.strip()
 
 
+def _subprocess_stage(log, stage, budget_s, extra_env=None):
+    """Run this script with BENCH_STAGE=stage in a child; return the dict
+    parsed from the LAST JSON line of its stdout. Children print their
+    cumulative JSON incrementally, so even a timed-out child yields the
+    stages it finished (TimeoutExpired carries the captured output)."""
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_STAGE"] = stage
+    env.update(extra_env or {})
+    stdout = ""
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, timeout=budget_s,
+                           env=env)
+        stdout, stderr, rc = r.stdout, r.stderr, r.returncode
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        stderr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) \
+            else (e.stderr or "")
+        rc = "timeout"
+    for line in (stderr or "").splitlines():
+        log(f"({stage}) {line}")
+    last = None
+    for line in (stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                last = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    if last is None:
+        raise RuntimeError(f"{stage} stage produced no JSON (rc={rc}): "
+                           f"{(stderr or '')[-300:]}")
+    if rc == "timeout":
+        last[f"{stage}_timed_out"] = True
+    return last
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if os.environ.get("BENCH_CPU") == "1":
@@ -65,11 +142,16 @@ def main():
         # so JAX_PLATFORMS alone cannot force CPU (see tests/conftest.py)
         jax.config.update("jax_platforms", "cpu")
         os.environ["BENCH_DEVICE_PROBE_S"] = "0"
+    out = {}
+    _install_term_handler(out)
+
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     probe_s = int(os.environ.get("BENCH_DEVICE_PROBE_S", "600"))
     if probe_s > 0:
-        platform = _probe_devices(probe_s)
-        print(f"[bench] device platform: {platform}", file=sys.stderr,
-              flush=True)
+        platform = _probe_devices(min(probe_s, max(60, int(_remaining()))))
+        log(f"device platform: {platform}")
     import dune_pdelab_tpu as pt
     from dune_pdelab_tpu.ops import (
         ConvectionDiffusionProblem, ConvectionDiffusionFEM,
@@ -86,9 +168,6 @@ def main():
     class P(ConvectionDiffusionProblem):
         def f(self, x):
             return jnp.ones(x.shape[:-1], x.dtype)
-
-    def log(msg):
-        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
     V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
@@ -119,6 +198,7 @@ def main():
     log(f"stencil compiled: {st is not None}")
 
     run = None
+    solve_jit = None
     if st is not None and os.environ.get("BENCH_NO_PALLAS") != "1":
         # fully fused CG: 2 Pallas passes/iter, in-kernel Dirichlet masks,
         # ~8N bytes real traffic vs the 12N naive model
@@ -126,10 +206,10 @@ def main():
             make_fused_cg, qualifies,
         )
         if qualifies(st) and os.environ.get("BENCH_NO_FUSED") != "1":
-            solve = make_fused_cg(st, maxiter=iters, tol=0.0)
+            solve_jit = make_fused_cg(st, maxiter=iters, tol=0.0)
 
             def run(b):
-                z, stats = solve(b)
+                z, stats = solve_jit(b)
                 return z, stats.iterations, stats.defect
         else:
             from dune_pdelab_tpu.assembly.stencil_pallas_tile import (
@@ -143,9 +223,13 @@ def main():
             lambda p: go.jacobian_apply(x0, p))
 
         @jax.jit
-        def run(b):
+        def solve_jit(b):
             z, stats = cg(operator, b, tol=0.0, atol=1e-30, maxiter=iters)
             return z, stats.iterations, stats.defect
+
+        def run(b):
+            z, it, defect = solve_jit(b)
+            return z, it, defect
 
     # NOTE: block_until_ready does not sync through the axon relay; a
     # scalar host transfer is the only true sync (PERFORMANCE.md).
@@ -164,17 +248,18 @@ def main():
     achieved_gbps = bytes_per_iter * int(it) / dt / 1e9
     vs_baseline = achieved_gbps / hbm_gbps
 
-    out = {
+    out.update({
         "metric": f"matrix-free CG DOF-iterations/sec (3D Poisson Q1, "
                   f"N={N}, fp32, {int(it)} iters)",
         "value": dof_iters_per_sec,
         "unit": "dof_iters/s",
         "vs_baseline": vs_baseline,
-    }
+    })
 
     # measured-envelope calibration: what THIS chip actually streams on a
     # saxpy (3N*4 bytes/op). vs_baseline stays spec-sheet-conservative;
     # vs_envelope reports the fraction of the measured device envelope.
+    env_gbps = None
     try:
         calib = jax.jit(lambda a, c: a + 0.5 * c)
         y = calib(b, b)
@@ -189,40 +274,74 @@ def main():
         out["vs_envelope"] = achieved_gbps / env_gbps
         log(f"saxpy envelope: {env_gbps:.0f} GB/s; "
             f"vs_envelope={out['vs_envelope']:.3f}")
+        del y
     except Exception as e:
         log(f"envelope calibration skipped: {e}")
 
-    if os.environ.get("BENCH_SOLVE", "1") != "0":
-        # the north-star SOLVE: lattice-GMG-preconditioned CG driven to
-        # 1e-8 relative defect, mesh-independence table + time-to-solution
-        budget = int(os.environ.get("BENCH_SOLVE_BUDGET_S", "2700"))
+    # the defensible roofline number: XLA's own measured bytes for the
+    # whole compiled solve, divided by wall and the measured envelope —
+    # no hand traffic model on either side of the fraction
+    try:
+        ca = solve_jit.lower(b).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_bytes = float(ca.get("bytes accessed", 0.0))
+        if xla_bytes > 0 and env_gbps:
+            meas_gbps = xla_bytes / dt / 1e9
+            out["xla_bytes_accessed"] = xla_bytes
+            out["measured_traffic_gbps"] = meas_gbps
+            out["vs_measured"] = meas_gbps / env_gbps
+            log(f"XLA measured traffic: {meas_gbps:.0f} GB/s; "
+                f"vs_measured={out['vs_measured']:.3f}")
+    except Exception as e:
+        log(f"cost-analysis roofline skipped: {type(e).__name__}: {e}")
+
+    _emit(out)
+
+    # free the 134M-DOF headline buffers BEFORE any in-process stage: in
+    # round 4 the in-process 512^3 solve measured 45 s (HBM paging) while
+    # the isolated child measured 2.44 s on the same chip
+    import gc
+    del b, z, x0, go, V, mesh, st, run, solve_jit
+    gc.collect()
+
+    if os.environ.get("BENCH_SOLVE", "1") != "0" and _remaining() > 240:
+        # the north-star SOLVE table in a fresh subprocess (HBM isolation)
+        budget = _stage_budget(
+            int(os.environ.get("BENCH_SOLVE_BUDGET_S", "900")), 300)
         try:
-            out.update(_with_timeout(_solve_half, budget, log))
+            out.update(_subprocess_stage(log, "solve", budget))
         except BaseException as e:
             log(f"solve half skipped: {type(e).__name__}: {e}")
+        _emit(out)
 
-    if os.environ.get("BENCH_REFINE", "1") != "0":
+    if os.environ.get("BENCH_REFINE", "1") != "0" and _remaining() > 180:
         # fp64-grade north star: mixed-precision refinement (fp64 defect /
         # fp32 GMG-CG inner) in a subprocess with x64 enabled, so the
         # fp32 performance mode of this process stays untouched
-        budget = int(os.environ.get("BENCH_REFINE_BUDGET_S", "1800"))
+        budget = _stage_budget(
+            int(os.environ.get("BENCH_REFINE_BUDGET_S", "600")), 200)
         try:
-            out.update(_refine_subprocess(log, budget))
+            out.update(_subprocess_stage(log, "refine", budget,
+                                         {"JAX_ENABLE_X64": "1"}))
         except BaseException as e:
             log(f"refine half skipped: {type(e).__name__}: {e}")
+        _emit(out)
 
-    if os.environ.get("BENCH_ASSEMBLED", "1") != "0":
-        # the 255^3 remote compile can take ~20+ min; budget it, and fall
-        # back to a smaller grid so the assembled_* keys still exist
+    if os.environ.get("BENCH_ASSEMBLED", "1") != "0" and _remaining() > 150:
         # fallback chain: the 255^3 BATCHED general-residual remote compile
         # has hit a TPU-compiler SIGILL (TpuPriorityFusionQueue cost model)
         # on the current v5e tunnel, while the qp-looped variant of the
         # same kernel compiles (smaller fusion graph) — retry with it
         # before shrinking the mesh
-        for cells, qp_loop, budget in (
-                (None, False, int(os.environ.get(
-                    "BENCH_ASM_BUDGET_S", "2100"))),
-                (None, True, 1500), (191, False, 900), (127, False, 600)):
+        for cells, qp_loop, default_b in (
+                (None, False,
+                 int(os.environ.get("BENCH_ASM_BUDGET_S", "600"))),
+                (None, True, 400), (191, False, 300), (127, False, 200)):
+            budget = _stage_budget(default_b, 100)
+            if budget < 60:
+                log("assembled half skipped: out of budget")
+                break
             try:
                 out.update(_with_timeout(_assembled_half, budget, log,
                                          cells, qp_loop))
@@ -230,29 +349,43 @@ def main():
             except BaseException as e:   # never lose the headline line
                 log(f"assembled half (cells={cells}, qp_loop={qp_loop}) "
                     f"skipped: {type(e).__name__}: {e}")
+        _emit(out)
 
-    if os.environ.get("BENCH_DG", "1") != "0":
+    if os.environ.get("BENCH_DG", "1") != "0" and _remaining() > 120:
         # DG fast-path throughput (the block-stencil mm-resident apply)
-        for cells, budget in ((128, int(os.environ.get(
-                "BENCH_DG_BUDGET_S", "1200"))), (64, 400)):
+        for cells, default_b in ((128, int(os.environ.get(
+                "BENCH_DG_BUDGET_S", "400"))), (64, 240)):
+            budget = _stage_budget(default_b, 60)
+            if budget < 60:
+                log("DG half skipped: out of budget")
+                break
             try:
                 out.update(_with_timeout(_dg_half, budget, log, cells))
                 break
             except BaseException as e:
                 log(f"DG half (cells={cells}) skipped: "
                     f"{type(e).__name__}: {e}")
+        _emit(out)
 
-    print(json.dumps(out))
+    if os.environ.get("BENCH_DGMG", "1") != "0" and _remaining() > 90:
+        # DG two-level V-cycle cost per iteration (the round-3 demand that
+        # round 4 shipped structural cuts for but never measured on chip)
+        budget = _stage_budget(
+            int(os.environ.get("BENCH_DGMG_BUDGET_S", "400")), 30)
+        try:
+            out.update(_with_timeout(_dgmg_half, budget, log))
+        except BaseException as e:
+            log(f"DG-MG half skipped: {type(e).__name__}: {e}")
+
+    _emit(out)
 
 
 def _with_timeout(fn, seconds, *args):
-    import signal
-
     def handler(signum, frame):
-        raise TimeoutError(f"assembled-half budget ({seconds}s) exceeded")
+        raise TimeoutError(f"stage budget ({seconds}s) exceeded")
 
     old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(seconds)
+    signal.alarm(max(1, int(seconds)))
     try:
         return fn(*args)
     finally:
@@ -287,23 +420,6 @@ def _dispatch_overhead():
         _ = float(x[0])
         _DISPATCH_S = (time.perf_counter() - t0) / reps
     return _DISPATCH_S
-
-
-def _refine_subprocess(log, budget_s):
-    """Run the fp64 refinement stage in a child process (JAX_ENABLE_X64=1
-    must be set before jax initializes; the parent stays fp32-default)."""
-    import subprocess
-    env = dict(os.environ)
-    env["JAX_ENABLE_X64"] = "1"
-    env["BENCH_STAGE"] = "refine"
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       capture_output=True, text=True, timeout=budget_s,
-                       env=env)
-    for line in r.stderr.splitlines():
-        log(f"(refine) {line}")
-    if r.returncode != 0:
-        raise RuntimeError(f"refine stage failed: {r.stderr[-500:]}")
-    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def _refine_main():
@@ -387,16 +503,16 @@ def _refine_main():
         "refine_fp32_true_rel_defect": (
             info32["true_defect"] / info32["defect0"]),
         "refine_vs_fp32_wall": t_ref / t_fp32,
-    }))
+    }), flush=True)
 
 
-def _solve_half(log):
-    """North-star SOLVE (BASELINE.json: assemble+solve 3D Poisson at 100M+
-    DOFs): lattice-GMG-preconditioned CG driven to 1e-8 relative defect in
-    fp32, across 64^3..512^3 cells. Reports the iteration table (must be
-    mesh-independent), time-to-solution at the largest size, and the true
-    defect recomputed from b - A x (fp32 floor ~1e-6 relative; the
-    fp64-grade variant is the refinement stage / tools campaign).
+def _solve_main():
+    """Child-process entry for the north-star SOLVE table (BASELINE.json:
+    assemble+solve 3D Poisson at 100M+ DOFs): lattice-GMG-preconditioned
+    CG driven to 1e-8 relative defect in fp32, across 64^3..512^3 cells.
+    Prints the cumulative JSON after EVERY size, so a timeout preserves
+    the completed rows. Runs isolated so no other stage's buffers pollute
+    HBM (the round-4 45-s-vs-2.4-s lesson).
 
     Reference analog: ISTLBackend_SEQ_CG_AMG_SSOR driven by
     StationaryLinearProblemSolver (dune/pdelab/backend/istl/
@@ -408,6 +524,9 @@ def _solve_half(log):
         ConvectionDiffusionProblem, ConvectionDiffusionFEM)
     from dune_pdelab_tpu.assembly.stencil import compile_stencil
     from dune_pdelab_tpu.linalg.gmg_lattice import LatticeGMG
+
+    def log(msg):
+        print(f"[solve] {msg}", file=sys.stderr, flush=True)
 
     class P(ConvectionDiffusionProblem):
         def f(self, x):
@@ -448,7 +567,7 @@ def _solve_half(log):
             f"{t_solve:.3f} s (setup+compile {t_setup:.1f} s), "
             f"true rel defect {info['true_defect']/info['defect0']:.2e}, "
             f"converged={info['converged']}")
-        res = {
+        res.update({
             "solve_N": N,
             "solve_iterations": info["iterations"],
             "solve_converged": bool(info["converged"]),
@@ -456,11 +575,11 @@ def _solve_half(log):
             "solve_setup_s": t_setup,
             "solve_dofs_per_s": N / t_solve,
             "solve_true_rel_defect": info["true_defect"] / info["defect0"],
-        }
+            "solve_iters_by_n": iters_by_n,
+        })
+        print(json.dumps(res), flush=True)
         del x, b, st, gmg, go, V, mesh
         gc.collect()
-    res["solve_iters_by_n"] = iters_by_n
-    return res
 
 
 def _assembled_half(log, cells=None, qp_loop=False):
@@ -515,6 +634,31 @@ def _assembled_half(log, cells=None, qp_loop=False):
     log(f"assembled residual: {t_res*1e3:.2f} ms = "
         f"{E/t_res/1e6:.1f} M elem-res/s")
 
+    res = {
+        "assembled_N": N,
+        "assembled_residual_meps": E / t_res / 1e6,
+    }
+
+    # structured-fused residual tier (assembly/structured_fused.py): shift-
+    # slice gathers + einsum quadrature + shifted scatter-adds on the 3D
+    # node grid — no index maps. The >=1 Gdof/s general-assembly answer.
+    try:
+        from dune_pdelab_tpu.assembly.structured_fused import (
+            make_fused_residual,
+        )
+        fused = make_fused_residual(go)
+        if fused is not None:
+            sync(fused(x0))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                sync(fused(x0))
+            t_f = (time.perf_counter() - t0) / reps
+            log(f"fused structured residual: {t_f*1e3:.2f} ms = "
+                f"{E/t_f/1e6:.1f} M elem-res/s")
+            res["assembled_residual_fused_meps"] = E / t_f / 1e6
+    except Exception as e:
+        log(f"fused residual skipped: {type(e).__name__}: {e}")
+
     t0 = time.perf_counter()
     ell = assemble_ell_direct(go, x_lin=x0)
     if ell is None:
@@ -547,14 +691,13 @@ def _assembled_half(log, cells=None, qp_loop=False):
     t_p = max(t_raw - _dispatch_overhead(), 0.1 * t_raw)
     log(f"plane ELL SpMV: {t_p*1e3:.2f} ms = {N/t_p/1e9:.2f} Gdof/s "
         f"(raw {t_raw*1e3:.2f} ms incl dispatch)")
-    return {
-        "assembled_N": N,
-        "assembled_residual_meps": E / t_res / 1e6,
+    res.update({
         "assembled_ell_build_s": t_asm,
         "assembled_ell_build_warm_s": t_asm_warm,
         "assembled_spmv_gdofs": N / t_p / 1e9,
         "assembled_spmv_gbps": 30.0 * N * 4 / t_p / 1e9,
-    }
+    })
+    return res
 
 
 def _dg_half(log, cells=128):
@@ -621,8 +764,90 @@ def _dg_half(log, cells=128):
     }
 
 
+def _dgmg_half(log):
+    """DG two-level V-cycle cost per preconditioned CG iteration at 64^3
+    Q1 DG SIPG (the round-3 <=70 ms/iter demand; round 4's structural
+    cuts — face-parity 2-color smoother, lattice-GMG coarse space,
+    mm-resident cycle — went unmeasured on chip). Same composition as
+    benchmarks/dg_mg_tpu.py. Reference analog: seq_amg_dg_backend.hh:146."""
+    import jax.numpy as jnp
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.fe import QkDGFEM
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM)
+    from dune_pdelab_tpu.ops.convectiondiffusiondg import (
+        ConvectionDiffusionDG,
+    )
+    from dune_pdelab_tpu.linalg import DGTwoLevel
+    from dune_pdelab_tpu.assembly.blockstencil import compile_block_stencil
+    from dune_pdelab_tpu.assembly.blockstencil_mm import (
+        try_mm_block_stencil, MMBlockStencil,
+    )
+
+    class Diff(ConvectionDiffusionProblem):
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    cells = int(os.environ.get("BENCH_DGMG_CELLS", "64"))
+    p = Diff()
+    mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (cells,) * 3)
+    V = pt.FunctionSpace(mesh, QkDGFEM(1, 3))
+    go = pt.GridOperator(V, ConvectionDiffusionDG(p))
+    N = V.ndofs
+    log(f"DG-MG half: N={N}")
+    Aop = compile_block_stencil(go)
+    if Aop is None:
+        raise RuntimeError("block stencil not applicable")
+    if jax.default_backend() != "cpu":
+        mm = try_mm_block_stencil(Aop, mode="mxu2")
+        if mm is not None:
+            Aop = MMBlockStencil(mm)
+    tl = DGTwoLevel(go, ConvectionDiffusionFEM(p))
+    tl.setup(operator=Aop)
+    b = -go.residual(jnp.zeros(N, jnp.float32))
+
+    def run(bb, tol=1e-8, maxiter=60):
+        x = jnp.zeros_like(bb)
+        r = bb
+        z0 = tl.apply(r)
+        pvec, rz = z0, float(jnp.dot(r, z0))
+        nb0 = float(jnp.linalg.norm(bb))
+        k = 0
+        while k < maxiter:
+            Ap = Aop(pvec)
+            alpha = rz / float(jnp.dot(pvec, Ap))
+            x = x + alpha * pvec
+            r = r - alpha * Ap
+            k += 1
+            if float(jnp.linalg.norm(r)) <= tol * nb0:
+                break
+            zv = tl.apply(r)
+            rz_new = float(jnp.dot(r, zv))
+            pvec = zv + (rz_new / rz) * pvec
+            rz = rz_new
+        return x, k
+
+    z, it = run(b)                # cold (compiles)
+    t0 = time.perf_counter()
+    z, it = run(b)
+    dt = time.perf_counter() - t0
+    true_res = float(jnp.linalg.norm(Aop(z) - b) / jnp.linalg.norm(b))
+    log(f"DG-MG {cells}^3: {it} its in {dt:.2f} s = "
+        f"{dt/max(it,1)*1e3:.1f} ms/iter, true rel res {true_res:.2e}")
+    return {
+        "dgmg_N": N,
+        "dgmg_cells": cells,
+        "dgmg_ms_per_iter": dt / max(it, 1) * 1e3,
+        "dgmg_iterations": it,
+        "dgmg_true_rel_res": true_res,
+    }
+
+
 if __name__ == "__main__":
-    if os.environ.get("BENCH_STAGE") == "refine":
+    stage = os.environ.get("BENCH_STAGE")
+    if stage == "refine":
         _refine_main()
+    elif stage == "solve":
+        _solve_main()
     else:
         main()
