@@ -18,7 +18,7 @@ import jax.numpy as jnp
 def main():
     cells = int(sys.argv[1]) if len(sys.argv) > 1 else 255
     tz = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    ty = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cy = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     import dune_pdelab_tpu as pt
     from dune_pdelab_tpu.ops import (
         ConvectionDiffusionProblem, ConvectionDiffusionFEM)
@@ -37,7 +37,7 @@ def main():
             return jnp.ones(x.shape[:-1], x.dtype)
 
     print(f"[fused] platform={jax.devices()[0].platform} cells={cells} "
-          f"tz={tz} ty={ty}", flush=True)
+          f"tz={tz} cy={cy}", flush=True)
     mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (cells,) * 3)
     V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
     go = pt.GridOperator(V, ConvectionDiffusionFEM(VarCoeff()),
@@ -52,7 +52,7 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(N), jnp.float32)
 
-    fused = make_fused_residual(go, tz=tz, ty=ty)
+    fused = make_fused_residual(go, tz=tz, cy=cy)
     assert fused is not None
     t0 = time.perf_counter()
     s_f = sync(fused(x))

@@ -8,18 +8,24 @@ through HBM between fusions — measured 0.17-0.23 Gelem/s at 16.8M DOFs,
 rematerialization, see gridoperator.py:143-155). This module collapses the
 whole chain into one Pallas kernel over z/y tiles of the DOF lattice:
 
-  * the tile's node values are DMA'd to VMEM once (one-element halo),
-  * the 2^d corner gathers are static shifted VMEM slices,
+  * the (dy, dx) corner neighbors come from four XLA-built pre-shifted
+    copies of the node grid, so every DMA slice is aligned and NO
+    in-kernel rolls/unaligned slices exist (Mosaic's DMA slices on tiled
+    axes must be 8/128-aligned, and roll-heavy kernel bodies hung the
+    compiler),
+  * the dz corner neighbor is a dim-0 slice (the major axis is untiled),
   * the quadrature loop runs entirely in VMEM (unrolled over qps; the
     qp-loop that loses in XLA wins here because the element data is
     on-chip), with coefficient fields A/b/c/f evaluated inline at the
     tile's quadrature points (traced into the kernel),
-  * the 2^d scatter-adds are static shifted VMEM slices into the owned
-    output tile — tiles own disjoint node ranges, halo elements are
-    recomputed by both neighbors (~(1+1/tz)(1+1/ty) redundancy).
+  * the kernel emits four element-indexed partial outputs (one per
+    (dy, dx) corner group, z-resolved in-kernel); XLA applies the +1
+    y/x scatter shifts outside as padded adds. Elements are computed
+    exactly once in y/x; only the z halo is recomputed ((tz+1)/tz).
 
-HBM traffic is ~1 read + 1 write of the DOF vector (+halo) — the
-speed-of-light form of FEM assembly on TPU.
+HBM traffic is ~17 floats/element (vs ~250 in the batched path) — a
+~12 Gelem/s roofline at v5e bandwidth, above the qp-loop compute
+ceiling, so the kernel stays compute-bound.
 
 Scope (checked by make_*; None returned otherwise): single-leaf Q1 tensor
 C0 space, 3D uniform non-periodic cube mesh, ConvectionDiffusionFEM volume
@@ -78,8 +84,30 @@ def _qualifies(go, include_lambda):
     return True
 
 
-def _build_core(go, time, include_lambda, interpret, tz, ty):
-    """The unconstrained fused volume kernel: x (N,) -> r (N,)."""
+def _build_core(go, time, include_lambda, interpret, tz, cy):
+    """The unconstrained fused volume kernel: x (N,) -> r (N,).
+
+    Mosaic-friendly tiling (the tunnel compiler hung on roll-heavy
+    variants): NO in-kernel rolls or unaligned slices at all.
+
+      * the (dy, dx) corner neighbors come from FOUR pre-shifted HBM
+        copies of the node grid (u00, u01, u10, u11 = u shifted by one
+        y/x node), built by XLA outside the kernel — every DMA slice is
+        then (z-tile, aligned y-chunk, full x) at the SAME index,
+      * the dz neighbor is a dim-0 slice (the major axis is untiled —
+        offsets there are unconstrained),
+      * the kernel emits FOUR element-indexed partial outputs S_g,
+        g = (dy, dx): S_g[e] = sum_qp (corner-(:,dy,dx) test-function
+        weights) at element e, z-resolved in-kernel; XLA applies the
+        +dy/+dx scatter shifts outside (padded adds). Elements are
+        computed exactly once in y/x (no halo redundancy); only the
+        z halo is recomputed ((tz+1)/tz).
+
+    Extra HBM traffic vs the ideal single-pass form: ~17 floats/element
+    (4 shifted input builds + 4 partial outputs + the final combine) —
+    a ~12 Gelem/s roofline at v5e bandwidth, far above the compute
+    ceiling of the qp loop, so the scheme stays compute-bound.
+    """
     space = go.space
     fem, mesh = space.fem, space.mesh
     problem = go.lop.set_time(time).problem
@@ -95,6 +123,7 @@ def _build_core(go, time, include_lambda, interpret, tz, ty):
     mi = np.asarray(fem._mi, np.int64)              # (8, 3) corner offsets
     lower = np.asarray(mesh.lower, np.float32)
     h = np.asarray(mesh.h, np.float32)
+    ncorner = phi.shape[1]
 
     # coefficient shape classes, probed once on the host (static)
     xprobe = jnp.asarray(np.linspace(0.1, 0.9, 6).reshape(2, 3))
@@ -103,32 +132,40 @@ def _build_core(go, time, include_lambda, interpret, tz, ty):
     c_is_zero = not np.any(np.asarray(problem.c(xprobe)))
 
     nxp = _round_up(nx1, 128)
-    gz, gy = -(-nz1 // tz), -(-ny1 // ty)
-    erows_z, erows_y = tz + 1, ty + 1
+    gz = -(-nz1 // tz)
+    cy = max(8, _round_up(cy, 8))
+    gy = -(-ny1 // cy)
+    # trim trailing-chunk waste: smallest 8-multiple chunk covering ny1 in gy
+    cy = _round_up(-(-ny1 // gy), 8)
+    erz = tz + 1                      # element z-planes per program
+    groups = ((0, 0), (0, 1), (1, 0), (1, 1))     # (dy, dx)
 
-    def kernel(up_ref, out_ref, slab_ref, sem):
-        # overlapping (tz+2, ty+2) halo slabs cannot be expressed as
-        # BlockSpec blocks (index maps are in block-shape units); the
-        # padded node grid stays in HBM (ANY) and each program DMAs its
-        # slab into VMEM scratch — the stencil_pallas.py pattern.
+    def kernel(u00, u01, u10, u11, o00, o01, o10, o11,
+               s00, s01, s10, s11, m0, m1, m2, m3):
         iz = pl.program_id(0)
         jy = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            up_ref.at[pl.ds(iz * tz, tz + 2), pl.ds(jy * ty, ty + 2), :],
-            slab_ref, sem)
-        dma.start()
-        dma.wait()
-        slab = slab_ref[:]
-        dt = slab.dtype
+        dmas = []
+        for src, dst, sm in ((u00, s00, m0), (u01, s01, m1),
+                             (u10, s10, m2), (u11, s11, m3)):
+            dma = pltpu.make_async_copy(
+                src.at[pl.ds(iz * tz, tz + 2), pl.ds(jy * cy, cy), :],
+                dst, sm)
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+        slabs = {(0, 0): s00[:], (0, 1): s01[:],
+                 (1, 0): s10[:], (1, 1): s11[:]}
+        dt = slabs[0, 0].dtype
 
-        # global element indices of the tile's (tz+1, ty+1, nxp) elements
-        lez = jax.lax.broadcasted_iota(jnp.int32, (erows_z, 1, 1), 0)
-        ley = jax.lax.broadcasted_iota(jnp.int32, (1, erows_y, 1), 1)
+        # global element indices of this program's (erz, cy, nxp) elements
+        lez = jax.lax.broadcasted_iota(jnp.int32, (erz, 1, 1), 0)
+        ley = jax.lax.broadcasted_iota(jnp.int32, (1, cy, 1), 1)
         lex = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nxp), 2)
         ez = iz * tz - 1 + lez
-        ey = jy * ty - 1 + ley
-        valid = ((ez >= 0) & (ez < nz) & (ey >= 0) & (ey < ny)
-                 & (lex < nx)).astype(dt)          # (tz+1, ty+1, nxp)
+        ey = jy * cy + ley
+        valid = ((ez >= 0) & (ez < nz) & (ey < ny)
+                 & (lex < nx)).astype(dt)          # (erz, cy, nxp)
 
         # element-origin coordinates, clamped so coefficient evaluation
         # stays inside the domain for masked halo/pad elements (a NaN at a
@@ -137,25 +174,19 @@ def _build_core(go, time, include_lambda, interpret, tz, ty):
         oy = (jnp.clip(ey, 0, ny - 1).astype(dt) * h[1] + lower[1])
         oz = (jnp.clip(ez, 0, nz - 1).astype(dt) * h[2] + lower[2])
 
-        # corner node values: static shifted slices of the VMEM slab;
-        # dx=1 is a lane roll (the wrapped last column is always masked)
-        def corner(dz, dy, dx):
-            w = slab[dz:dz + erows_z, dy:dy + erows_y, :]
-            if dx:
-                # pltpu.roll wants non-negative shifts: -1 == nxp-1 circular
-                w = pltpu.roll(w, nxp - 1, 2) if not interpret else jnp.roll(
-                    w, -1, 2)
-            return w
+        # corner node values: element (lz, ly, lx) reads node
+        # (lz+dz, ly+dy, lx+dx) = pre-shifted slab (dy,dx) at (lz+dz, ly, lx)
+        W = [slabs[int(mi[a][1]), int(mi[a][0])][int(mi[a][2]):
+                                                 int(mi[a][2]) + erz]
+             for a in range(ncorner)]
 
-        W = [corner(int(mi[a][2]), int(mi[a][1]), int(mi[a][0]))
-             for a in range(phi.shape[1])]
-
-        racc = [jnp.zeros((erows_z, erows_y, nxp), dt)
-                for _ in range(phi.shape[1])]
+        # z-resolved per-(dy,dx)-group node accumulators: owned node plane
+        # t takes element planes t+1 (dz=0) and t (dz=1) of the local range
+        S = {g: jnp.zeros((tz, cy, nxp), dt) for g in groups}
         for q in range(nqp):
             uq = None
             gu = [None, None, None]
-            for a in range(phi.shape[1]):
+            for a in range(ncorner):
                 pw = float(phi[q, a])
                 uq = pw * W[a] if uq is None else uq + pw * W[a]
                 for d in range(3):
@@ -193,12 +224,11 @@ def _build_core(go, time, include_lambda, interpret, tz, ty):
                 fq = jnp.zeros_like(uq) + fq
                 sval = -fq if sval is None else sval - fq
 
-            fq_fac = float(factor[q])
-            m = valid * fq_fac
+            m = valid * float(factor[q])
             flux = [fd * m for fd in flux]
             if sval is not None:
                 sval = sval * m
-            for a in range(phi.shape[1]):
+            for a in range(ncorner):
                 contrib = None
                 for d in range(3):
                     gw = float(grad[q, a, d])
@@ -210,43 +240,51 @@ def _build_core(go, time, include_lambda, interpret, tz, ty):
                     pw = float(phi[q, a])
                     t = pw * sval
                     contrib = t if contrib is None else contrib + t
-                if contrib is not None:
-                    racc[a] = racc[a] + contrib
+                if contrib is None:
+                    continue
+                dz = int(mi[a][2])
+                g = (int(mi[a][1]), int(mi[a][0]))
+                S[g] = S[g] + contrib[1 - dz:1 - dz + tz]
+        o00[:] = S[0, 0]
+        o01[:] = S[0, 1]
+        o10[:] = S[1, 0]
+        o11[:] = S[1, 1]
 
-        # scatter: node (oz', oy') takes corner-a contributions from the
-        # element at (oz'-dz, oy'-dy) -> static slice + forward lane roll
-        out = jnp.zeros((tz, ty, nxp), dt)
-        for a in range(phi.shape[1]):
-            dz, dy, dx = int(mi[a][2]), int(mi[a][1]), int(mi[a][0])
-            piece = racc[a][1 - dz:1 - dz + tz, 1 - dy:1 - dy + ty, :]
-            if dx:
-                piece = pltpu.roll(piece, 1, 2) if not interpret else \
-                    jnp.roll(piece, 1, 2)
-            out = out + piece
-        out_ref[:] = out
-
+    oshape = jax.ShapeDtypeStruct((gz * tz, gy * cy, nxp), jnp.float32)
+    ospec = pl.BlockSpec((tz, cy, nxp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((gz * tz, gy * ty, nxp), jnp.float32),
+        out_shape=(oshape,) * 4,
         grid=(gz, gy),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((tz, ty, nxp), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tz + 2, ty + 2, nxp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(ospec,) * 4,
+        scratch_shapes=(
+            [pltpu.VMEM((tz + 2, cy, nxp), jnp.float32)] * 4
+            + [pltpu.SemaphoreType.DMA] * 4
+        ),
         interpret=bool(interpret),
     )
 
     def core(x):
         dt = jnp.float32
         u = x.astype(dt).reshape(nz1, ny1, nx1)
-        # pad: one halo node in z/y (so tile -1/+1 reads are in-bounds),
-        # plus tile-multiple tails; x pads to the 128-lane multiple
-        up = jnp.pad(u, ((1, gz * tz - nz1 + 1), (1, gy * ty - ny1 + 1),
-                         (0, nxp - nx1)))
-        r = call(up)
+        # one z halo plane each side; +1 extra y/x margin feeds the
+        # pre-shifted copies; tails pad to tile multiples
+        up = jnp.pad(u, ((1, gz * tz - nz1 + 1),
+                         (0, gy * cy - ny1 + 1), (0, nxp - nx1 + 1)))
+        # group key (dy, dx): u01 = x-shift, u10 = y-shift
+        u00 = up[:, :gy * cy, :nxp]
+        u01 = up[:, :gy * cy, 1:nxp + 1]
+        u10 = up[:, 1:gy * cy + 1, :nxp]
+        u11 = up[:, 1:gy * cy + 1, 1:nxp + 1]
+        S00, S01, S10, S11 = call(u00, u01, u10, u11)
+        # node (z, y, x) += S_(dy,dx)[z, y-dy, x-dx]: shift the element-
+        # indexed partials forward and add (XLA fuses the pads into one pass)
+        r = (S00
+             + jnp.pad(S01, ((0, 0), (0, 0), (1, 0)))[:, :, :nxp]
+             + jnp.pad(S10, ((0, 0), (1, 0), (0, 0)))[:, :gy * cy, :]
+             + jnp.pad(S11, ((0, 0), (1, 0), (1, 0)))[:, :gy * cy, :nxp])
         return r[:nz1, :ny1, :nx1].reshape(-1).astype(x.dtype)
 
     return core
@@ -256,7 +294,7 @@ class _Missing:
     pass
 
 
-def make_fused_residual(go, time=0.0, interpret=None, tz=8, ty=8):
+def make_fused_residual(go, time=0.0, interpret=None, tz=4, cy=64):
     """Fused residual matching go.residual(x) (constrained rows zeroed).
 
     Returns a jitted callable or None when the operator does not qualify.
@@ -265,7 +303,7 @@ def make_fused_residual(go, time=0.0, interpret=None, tz=8, ty=8):
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    core = _build_core(go, time, True, interpret, tz, ty)
+    core = _build_core(go, time, True, interpret, tz, cy)
     mask = go.cg.mask if go.cg is not None else None
 
     @jax.jit
@@ -278,7 +316,7 @@ def make_fused_residual(go, time=0.0, interpret=None, tz=8, ty=8):
     return apply
 
 
-def make_fused_japply(go, time=0.0, interpret=None, tz=8, ty=8):
+def make_fused_japply(go, time=0.0, interpret=None, tz=4, cy=64):
     """Fused linear-operator apply matching go.jacobian_apply(0, z):
     y = mask ? z : A z with constrained columns zeroed. Linear LOPs only.
     This is the variable-coefficient matrix-free operator for the
@@ -289,7 +327,7 @@ def make_fused_japply(go, time=0.0, interpret=None, tz=8, ty=8):
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    core = _build_core(go, time, False, interpret, tz, ty)
+    core = _build_core(go, time, False, interpret, tz, cy)
     mask = go.cg.mask if go.cg is not None else None
 
     @jax.jit

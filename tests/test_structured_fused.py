@@ -69,7 +69,7 @@ def _setup(problem, n=9):
                          ids=["scalar_field", "tensor_convection"])
 def test_fused_residual_matches_batched(problem):
     go, x = _setup(problem)
-    fused = make_fused_residual(go, tz=4, ty=4)
+    fused = make_fused_residual(go, tz=4, cy=8)
     assert fused is not None
     r_ref = np.asarray(go.residual(x), np.float64)
     r_f = np.asarray(fused(x), np.float64)
@@ -79,7 +79,7 @@ def test_fused_residual_matches_batched(problem):
 
 def test_fused_japply_matches_batched():
     go, x = _setup(VarCoeff())
-    japply = make_fused_japply(go, tz=4, ty=4)
+    japply = make_fused_japply(go, tz=4, cy=8)
     assert japply is not None
     rng = np.random.default_rng(11)
     z = jnp.asarray(rng.standard_normal(go.space.ndofs), jnp.float32)
