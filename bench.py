@@ -315,6 +315,18 @@ def main():
             log(f"solve half skipped: {type(e).__name__}: {e}")
         _emit(out)
 
+    if os.environ.get("BENCH_VARSOLVE", "1") != "0" and _remaining() > 240:
+        # variable-coefficient north star (VERDICT r4 item 4): rediscretized
+        # matrix-free GMG (linalg/gmg_varcoeff.py) on A(x) Poisson — removes
+        # LatticeGMG's translation-invariance asterisk at scale
+        budget = _stage_budget(
+            int(os.environ.get("BENCH_VARSOLVE_BUDGET_S", "900")), 250)
+        try:
+            out.update(_subprocess_stage(log, "varsolve", budget))
+        except BaseException as e:
+            log(f"varsolve half skipped: {type(e).__name__}: {e}")
+        _emit(out)
+
     if os.environ.get("BENCH_REFINE", "1") != "0" and _remaining() > 180:
         # fp64-grade north star: mixed-precision refinement (fp64 defect /
         # fp32 GMG-CG inner) in a subprocess with x64 enabled, so the
@@ -504,6 +516,85 @@ def _refine_main():
             info32["true_defect"] / info32["defect0"]),
         "refine_vs_fp32_wall": t_ref / t_fp32,
     }), flush=True)
+
+
+def _varsolve_main():
+    """Child-process entry: the VARIABLE-COEFFICIENT north star. Solves
+    -div(A(x) grad u) = 1 with smooth A(x) = 1 + 0.5 sin(pi x) sin(pi y)
+    sin(pi z) by rediscretized matrix-free GMG-CG (linalg/gmg_varcoeff.py:
+    every level applies through the fused Pallas kernel; 27-comb probes
+    give exact Chebyshev bounds), across two sizes to show flat iteration
+    counts — the reference's AMG-CG solves any assembled operator at scale
+    (dune/pdelab/backend/istl/seqistlsolverbackend.hh:983); this is the
+    structured-mesh TPU answer without LatticeGMG's translation-invariance
+    restriction."""
+    import gc
+    import jax.numpy as jnp
+    import dune_pdelab_tpu as pt
+    from dune_pdelab_tpu.ops import (
+        ConvectionDiffusionProblem, ConvectionDiffusionFEM)
+    from dune_pdelab_tpu.linalg.gmg_varcoeff import VarCoeffGMG
+
+    def log(msg):
+        print(f"[varsolve] {msg}", file=sys.stderr, flush=True)
+
+    class VarP(ConvectionDiffusionProblem):
+        def A(self, x):
+            import math
+            s = jnp.sin(math.pi * x[..., 0]) * jnp.sin(
+                math.pi * x[..., 1]) * jnp.sin(math.pi * x[..., 2])
+            return 1.0 + 0.5 * s
+
+        def f(self, x):
+            return jnp.ones(x.shape[:-1], x.dtype)
+
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_VARSOLVE_CELLS", "256,512").split(",")]
+    tol = float(os.environ.get("BENCH_VARSOLVE_TOL", "1e-8"))
+    iters_by_n = {}
+    res = {}
+    for n in sizes:
+        mesh = pt.StructuredMesh([0, 0, 0], [1, 1, 1], (n, n, n))
+        V = pt.FunctionSpace(mesh, pt.QkFEM(1, 3))
+        prob = VarP()
+        cg_mask = pt.constraints(prob.dirichlet_bctype(), V)
+        lop = ConvectionDiffusionFEM(prob)
+        go = pt.GridOperator(V, lop, constraints=cg_mask,
+                             skip_boundary=True)
+        N = V.ndofs
+        x0 = jnp.zeros(N, jnp.float32)
+        if N > 40_000_000:
+            from dune_pdelab_tpu.assembly.slabbed import residual_slabbed
+            b = -residual_slabbed(V, lop, cg_mask, x0, nslabs=16)
+        else:
+            b = -go.residual(x0)
+        t0 = time.perf_counter()
+        gmg = VarCoeffGMG(go, coarsest_cells=4)
+        _ = float(jnp.sum(gmg.apply(b)))       # warm the V-cycle compiles
+        t_setup = time.perf_counter() - t0
+        x, info = gmg.solve_host(b, tol=tol, maxiter=100)
+        t0 = time.perf_counter()
+        x, info = gmg.solve_host(b, tol=tol, maxiter=100)
+        t_solve = time.perf_counter() - t0
+        iters_by_n[n] = info["iterations"]
+        log(f"varsolve {n}^3 (N={N}): {info['iterations']} its in "
+            f"{t_solve:.3f} s (setup+compile {t_setup:.1f} s), "
+            f"true rel defect {info['true_defect']/info['defect0']:.2e}, "
+            f"converged={info['converged']}")
+        res.update({
+            "varsolve_N": N,
+            "varsolve_iterations": info["iterations"],
+            "varsolve_converged": bool(info["converged"]),
+            "varsolve_s": t_solve,
+            "varsolve_setup_s": t_setup,
+            "varsolve_dofs_per_s": N / t_solve,
+            "varsolve_true_rel_defect": (
+                info["true_defect"] / info["defect0"]),
+            "varsolve_iters_by_n": iters_by_n,
+        })
+        print(json.dumps(res), flush=True)
+        del x, b, gmg, go, V, mesh
+        gc.collect()
 
 
 def _solve_main():
@@ -849,5 +940,7 @@ if __name__ == "__main__":
         _refine_main()
     elif stage == "solve":
         _solve_main()
+    elif stage == "varsolve":
+        _varsolve_main()
     else:
         main()

@@ -48,7 +48,7 @@ class DofShardedStencil:
     """
 
     def __init__(self, stencil_op, devices=None, mesh_shape=None,
-                 axis_names=("sz", "sy")):
+                 axis_names=("sz", "sy"), padded_shape=None):
         st = stencil_op
         self.st = st
         devices = list(devices) if devices is not None else jax.devices()
@@ -73,6 +73,16 @@ class DofShardedStencil:
         padded = list(self.grid_shape)
         for a, nd_a in enumerate(self.mesh_shape):
             padded[a] = _ceil_to(padded[a], nd_a * k)
+        if padded_shape is not None:
+            # caller-enforced padding (e.g. 2:1 level alignment in
+            # parallel/gmg_sharded.py); must keep class alignment
+            for a, nd_a in enumerate(self.mesh_shape):
+                p = int(padded_shape[a])
+                if p < padded[a] or p % (nd_a * k):
+                    raise ValueError(
+                        f"padded_shape[{a}]={p} not a feasible multiple "
+                        f"of ndev*k={nd_a * k} covering {padded[a]}")
+                padded[a] = p
         self.padded_shape = tuple(padded)
         self.pad_amount = tuple(p - g for p, g in
                                 zip(self.padded_shape, self.grid_shape))
