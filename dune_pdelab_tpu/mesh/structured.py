@@ -42,11 +42,37 @@ class StructuredMesh:
             c if p else c + 1 for c, p in zip(self.cells, self.periodic)
         )
         self.nvertices = int(np.prod(self.vdims))
+        # geometric vertex grid: ALWAYS c+1 planes per axis. Topology
+        # (DOF identification) lives on vdims; geometry (coords) on gdims.
+        # For a mapped periodic axis the caller supplies coordinates for
+        # the full gdims grid with the CLOSURE contract: the last plane is
+        # the same physical curve as the first (e.g. theta = 2*pi == 0 on
+        # an annulus), so wrap elements keep continuous corner geometry
+        # while their DOFs are identified (reference analog: YaspGrid
+        # periodic overlap geometry, dune/pdelab/test/gridexamples.hh).
+        self.gdims = tuple(c + 1 for c in self.cells)
+        self.ngvertices = int(np.prod(self.gdims))
         if coords is not None:
-            if any(self.periodic):
-                raise NotImplementedError("mapped coords + periodic axes")
             coords = np.asarray(coords, dtype=np.float64)
-            assert coords.shape == (self.nvertices, self.dim)
+            assert coords.shape == (self.ngvertices, self.dim), (
+                f"coords must cover the full geometric vertex grid "
+                f"{self.gdims} = {self.ngvertices} vertices (periodic axes "
+                f"included: last plane == first plane physically), got "
+                f"{coords.shape}")
+            if any(self.periodic):
+                grid = coords.reshape(
+                    tuple(reversed(self.gdims)) + (self.dim,))
+                for a in range(self.dim):
+                    if not self.periodic[a]:
+                        continue
+                    ax = self.dim - 1 - a
+                    first = np.take(grid, 0, axis=ax)
+                    last = np.take(grid, self.gdims[a] - 1, axis=ax)
+                    if not np.allclose(first, last, atol=1e-12):
+                        raise ValueError(
+                            f"periodic axis {a}: mapped coords do not "
+                            "close (last vertex plane must coincide with "
+                            "the first)")
         self.coords = coords
 
     # -- basic properties ----------------------------------------------------
@@ -103,9 +129,17 @@ class StructuredMesh:
         return g @ self._strides(self.vdims)
 
     def vertex_coords(self) -> np.ndarray:
-        """(NV, dim) vertex coordinates."""
+        """(NV, dim) vertex coordinates on the IDENTIFIED grid (periodic
+        axes keep the first plane's coordinates)."""
         if self.coords is not None:
-            return self.coords
+            if not any(self.periodic):
+                return self.coords
+            grid = self.coords.reshape(
+                tuple(reversed(self.gdims)) + (self.dim,))
+            sl = tuple(
+                slice(0, self.vdims[a])
+                for a in reversed(range(self.dim)))
+            return np.ascontiguousarray(grid[sl].reshape(-1, self.dim))
         v = np.arange(self.nvertices, dtype=np.int64)
         mi = np.empty((self.nvertices, self.dim), dtype=np.int64)
         for d in range(self.dim):
@@ -120,7 +154,14 @@ class StructuredMesh:
         geometry stays a proper box (geometry is position, not topology).
         """
         if self.coords is not None:
-            return self.coords[self.element_vertex_indices()]
+            # index the FULL geometric grid without wrapping: a wrap
+            # element's upper corners read the closure plane, so its
+            # multilinear geometry stays continuous (topology wraps via
+            # element_vertex_indices; geometry never does)
+            mi = self.element_multi_index()
+            off = self.corner_offsets()
+            g = mi[:, None, :] + off[None, :, :]
+            return self.coords[g @ self._strides(self.gdims)]
         mi = self.element_multi_index()
         off = self.corner_offsets()
         g = mi[:, None, :] + off[None, :, :]
@@ -201,7 +242,7 @@ class StructuredMesh:
         common/geometrywrapper.hh)."""
         if self.coords is not None:
             grid = self.coords.reshape(
-                tuple(reversed(self.vdims)) + (self.dim,))
+                tuple(reversed(self.gdims)) + (self.dim,))
             for ax in range(self.dim):
                 n = grid.shape[ax]
                 new_n = (n - 1) * factor + 1
@@ -233,7 +274,7 @@ class StructuredMesh:
             raise ValueError(f"cells {self.cells} not divisible by {factor}")
         if self.coords is not None:
             grid = self.coords.reshape(
-                tuple(reversed(self.vdims)) + (self.dim,))
+                tuple(reversed(self.gdims)) + (self.dim,))
             sl = tuple(slice(None, None, factor) for _ in range(self.dim))
             return StructuredMesh(
                 self.lower, self.upper,
